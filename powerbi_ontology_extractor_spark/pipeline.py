@@ -1,0 +1,103 @@
+"""End-to-end KG-construction pipeline: corpus → triples (+ node/edge).
+
+Mirrors the reference's `extract → generate → export` lifecycle
+(/root/reference/powerbi_ontology/cli.py:63-106) as one lazy DataFrame
+DAG: the whole corpus is one job, per-artifact failure isolation is the
+permissive `from_json` (bad JSON → null struct → zero rows emitted,
+never a thrown task), and the thread-pool batch loop
+(cli.py:108-157) is simply cluster parallelism.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from powerbi_ontology_extractor_spark.functions.layout import report_triples
+from powerbi_ontology_extractor_spark.functions.mquery import m_datasource_triples
+from powerbi_ontology_extractor_spark.operators.extract import extract_all
+from powerbi_ontology_extractor_spark.operators.ontology import generate_ontology
+from powerbi_ontology_extractor_spark.operators.triples import (
+    DEFAULT_GENERATED_AT,
+    DEFAULT_ROLES,
+    TRIPLE_COLS,
+    export_summary,
+    export_triples,
+)
+
+
+def build_triples(
+    corpus: DataFrame,
+    roles: list[str] = DEFAULT_ROLES,
+    generated_at: str = DEFAULT_GENERATED_AT,
+    include_latent_surfaces: bool = True,
+) -> DataFrame:
+    """corpus (repo, path, commit, lang, content) → triples DF."""
+    model_dfs = extract_all(corpus)
+    onto_dfs = generate_ontology(model_dfs)
+    triples = export_triples(onto_dfs, model_dfs, roles, generated_at)
+    if include_latent_surfaces:
+        triples = triples.unionByName(
+            m_datasource_triples(corpus, model_dfs["models"])
+        ).unionByName(report_triples(corpus, model_dfs["models"]))
+        triples = triples.dropDuplicates(TRIPLE_COLS)
+    return triples
+
+
+def nodes_edges(triples: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Materialize the graph as node/edge tables (north-star output;
+    replaces the reference's networkx DiGraph at
+    utils/visualizer.py:39-68).
+
+    nodes: every URI subject/object with its rdf:type (if any)
+    edges: every URI→URI triple (non-literal objects)
+    """
+    uri_objs = triples.where(~F.col("obj_is_literal"))
+    nodes = (
+        triples.select("repo", "dataset", F.col("subj").alias("node"))
+        .unionByName(
+            uri_objs.select("repo", "dataset", F.col("obj").alias("node"))
+        )
+        .dropDuplicates()
+        .join(
+            triples.where(F.col("pred") == "rdf:type")
+            .groupBy("repo", "dataset", F.col("subj").alias("node"))
+            .agg(F.min("obj").alias("node_type")),
+            ["repo", "dataset", "node"],
+            "left",
+        )
+    )
+    edges = uri_objs.select(
+        "repo",
+        "dataset",
+        F.col("subj").alias("src"),
+        F.col("pred").alias("rel"),
+        F.col("obj").alias("dst"),
+    )
+    return nodes, edges
+
+
+def write_outputs(triples: DataFrame, out_dir: str, repo_buckets: int = 64) -> None:
+    """Persist triples + node/edge tables.
+
+    Cluster posture: Iceberg tables partitioned by ``bucket(repo)``;
+    locally parquet with an explicit repartition on the same key so the
+    file layout matches what a 1000-executor write would produce.
+    """
+    t = triples.repartition(repo_buckets, "repo")
+    t.write.mode("overwrite").parquet(f"{out_dir}/triples")
+    nodes, edges = nodes_edges(triples)
+    nodes.repartition(max(repo_buckets // 4, 1), "repo").write.mode(
+        "overwrite"
+    ).parquet(f"{out_dir}/nodes")
+    edges.repartition(max(repo_buckets // 4, 1), "repo").write.mode(
+        "overwrite"
+    ).parquet(f"{out_dir}/edges")
+
+
+__all__ = [
+    "build_triples",
+    "nodes_edges",
+    "write_outputs",
+    "export_summary",
+]

@@ -1,0 +1,15 @@
+import pytest
+
+from powerbi_ontology_extractor_spark import get_spark
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(app_name="pbi-kg-tests", parallelism=8)
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+
+
+@pytest.fixture(scope="session")
+def sf_dir():
+    return "/root/testdata/sf0.001"
