@@ -1,0 +1,248 @@
+"""Diff / three-way merge / schema drift vs reference semantics
+(ontology_diff.py, schema_mapper.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from powerbi_ontology_extractor_spark.operators import diff as D
+from powerbi_ontology_extractor_spark.operators import drift as M
+from powerbi_ontology_extractor_spark.operators.contracts import (
+    permissions_from_dashboard,
+    relevant_business_rules,
+)
+
+ENT_SCHEMA = (
+    "entity string, description string, entity_type string, n_properties int"
+)
+PROP_SCHEMA = (
+    "entity string, property string, data_type string, required boolean, "
+    "unique boolean, description string"
+)
+REL_SCHEMA = (
+    "from_entity string, to_entity string, relationship_type string, "
+    "cardinality string, description string"
+)
+RULE_SCHEMA = (
+    "name string, condition string, action string, classification string, "
+    "description string"
+)
+
+
+def _onto(spark, entities, props, rels=(), rules=(), meta=()):
+    return {
+        "entities": spark.createDataFrame(entities, ENT_SCHEMA),
+        "properties": spark.createDataFrame(props, PROP_SCHEMA),
+        "relationships": spark.createDataFrame(list(rels), REL_SCHEMA),
+        "business_rules": spark.createDataFrame(list(rules), RULE_SCHEMA),
+        "metadata": spark.createDataFrame(list(meta), "key string, value string"),
+    }
+
+
+@pytest.fixture(scope="module")
+def pair(spark):
+    src = _onto(
+        spark,
+        entities=[("A", "a-desc", "standard", 2), ("B", "", "fact", 1)],
+        props=[
+            ("A", "x", "String", True, False, ""),
+            ("A", "y", "Integer", False, False, ""),
+            ("B", "z", "String", False, False, ""),
+        ],
+        rels=[("A", "B", "has", "one-to-many", "")],
+        rules=[("r1", "x > 1", "filter", "", "")],
+        meta=[("k1", "v1"), ("k2", "v2")],
+    )
+    tgt = _onto(
+        spark,
+        entities=[("A", "a-desc2", "dimension", 2), ("C", "", "standard", 1)],
+        props=[
+            ("A", "x", "Decimal", True, False, ""),   # type change
+            ("A", "y", "Integer", True, False, ""),   # required change
+            ("C", "w", "String", False, False, ""),
+        ],
+        rels=[("A", "B", "has", "many-to-many", "")],
+        rules=[("r1", "x > 5", "filter", "", ""), ("r2", "y = 1", "", "", "")],
+        meta=[("k1", "v1"), ("k3", "v3")],
+    )
+    return src, tgt
+
+
+def test_diff_full(spark, pair):
+    src, tgt = pair
+    changes = D.diff_ontologies(src, tgt).collect()
+    by_path = {}
+    for c in changes:
+        by_path.setdefault(c["path"], []).append(c)
+
+    # entity add/remove
+    assert by_path["C"][0]["change_type"] == "added"
+    assert by_path["C"][0]["new_value"] == "type=standard, properties=1"
+    assert by_path["B"][0]["change_type"] == "removed"
+    # entity modifications
+    assert by_path["A.entity_type"][0]["old_value"] == "standard"
+    assert by_path["A.entity_type"][0]["new_value"] == "dimension"
+    assert by_path["A.description"][0]["change_type"] == "modified"
+    # property modifications within common entity A
+    assert by_path["A.x.data_type"][0]["new_value"] == "Decimal"
+    assert by_path["A.y.required"][0]["old_value"] == "False"
+    assert by_path["A.y.required"][0]["new_value"] == "True"
+    # properties of removed entity B / added entity C are NOT reported
+    assert "B.z" not in by_path and "C.w" not in by_path
+    # relationship modification
+    assert by_path["A→B.cardinality"][0]["new_value"] == "many-to-many"
+    # rules
+    assert by_path["rule:r1.condition"][0]["new_value"] == "x > 5"
+    assert by_path["rule:r2"][0]["change_type"] == "added"
+    # metadata
+    assert by_path["metadata:k2"][0]["change_type"] == "removed"
+    assert by_path["metadata:k3"][0]["change_type"] == "added"
+
+
+def test_diff_summary(spark, pair):
+    src, tgt = pair
+    changes = D.diff_ontologies(src, tgt)
+    summ = {
+        (r["change_type"], r["element_type"]): r["count"]
+        for r in D.diff_summary(changes).collect()
+        if r["change_type"] is not None and r["element_type"] is not None
+    }
+    assert summ[("added", "entity")] == 1
+    assert summ[("removed", "entity")] == 1
+    assert summ[("modified", "property")] == 2
+
+
+def test_three_way_merge(spark):
+    base = _onto(
+        spark,
+        entities=[("A", "", "standard", 1)],
+        props=[("A", "x", "String", False, False, "")],
+        rules=[("r1", "x > 1", "filter", "", "")],
+        meta=[("k", "base"), ("only_base", "b")],
+    )
+    ours = _onto(
+        spark,
+        entities=[("A", "", "standard", 1), ("B", "", "standard", 1)],
+        props=[
+            ("A", "x", "String", False, False, ""),
+            ("B", "y", "String", False, False, ""),
+        ],
+        rules=[("r1", "x > 1", "filter", "", "")],
+        meta=[("k", "ours"), ("only_base", "b")],
+    )
+    theirs = _onto(
+        spark,
+        entities=[("A", "", "standard", 1), ("B", "", "fact", 2), ("C", "", "standard", 1)],
+        props=[
+            ("A", "x", "String", False, False, ""),
+            ("B", "y", "String", False, False, ""),
+            ("B", "y2", "String", False, False, ""),
+            ("C", "z", "String", False, False, ""),
+        ],
+        rules=[("r1", "x > 1", "filter", "", ""), ("r3", "z = 1", "", "", "")],
+        meta=[("k", "theirs"), ("extra", "t")],
+    )
+    merged, conflicts = D.merge_ontologies(base, ours, theirs)
+    ent_names = {r["entity"] for r in merged["entities"].collect()}
+    # C (theirs-only, non-conflicting) adopted; B conflicting (added in
+    # both) → ours wins, not duplicated
+    assert ent_names == {"A", "B", "C"}
+    b_rows = merged["entities"].where(F.col("entity") == "B").collect()
+    assert len(b_rows) == 1 and b_rows[0]["entity_type"] == "standard"  # ours
+    # properties: C's props adopted, B keeps ours' single prop
+    props = {(r["entity"], r["property"]) for r in merged["properties"].collect()}
+    assert ("C", "z") in props and ("B", "y") in props and ("B", "y2") not in props
+    # rules: r3 adopted
+    rules = {r["name"] for r in merged["business_rules"].collect()}
+    assert rules == {"r1", "r3"}
+    # conflict recorded on path B
+    assert "B" in {r["path"] for r in conflicts.collect()}
+    # metadata precedence base < theirs < ours
+    meta = {r["key"]: r["value"] for r in merged["metadata"].collect()}
+    assert meta["k"] == "ours" and meta["extra"] == "t" and meta["only_base"] == "b"
+
+
+def test_drift_rename_scenario(spark):
+    """The $4.6M fixture: warehouse_location renamed to facility_id is
+    NOT name-similar → stays missing (CRITICAL); location_name →
+    location_nm IS similar → rename (WARNING)."""
+    bindings = spark.createDataFrame(
+        [
+            ("W", "WarehouseLocation", "warehouse_location", "String"),
+            ("W", "LocationName", "location_name", "String"),
+            ("W", "Capacity", "capacity", "Integer"),
+        ],
+        "entity string, property string, physical_column string, expected_type string",
+    )
+    actual = spark.createDataFrame(
+        [
+            ("W", "facility_id", "String"),
+            ("W", "location_nm", "String"),
+            ("W", "capacity", "Decimal"),
+        ],
+        "entity string, column string, col_type string",
+    )
+    drift = M.detect_drift(bindings, actual)
+    rows = {(r["drift_type"], r["column"]): r for r in drift.collect()}
+    assert ("missing_column", "warehouse_location") in rows
+    assert rows[("missing_column", "warehouse_location")]["severity"] == "CRITICAL"
+    assert ("renamed_column", "location_name") in rows
+    assert rows[("renamed_column", "location_name")]["new_column"] == "location_nm"
+    assert ("type_change", "capacity") in rows
+    assert rows[("type_change", "capacity")]["new_type"] == "Decimal"
+    assert ("new_column", "facility_id") in rows  # not similar to missing
+
+    sev = M.drift_severity(drift).first()
+    assert sev["severity"] == "CRITICAL"
+
+    fixes = {r["fix_type"] for r in M.suggest_fixes(drift).collect()}
+    assert fixes == {"update_mapping", "add_column"}
+
+
+def test_create_and_validate_bindings(spark):
+    props = spark.createDataFrame(
+        [("r", "d", "E", 0, "CustomerName", "String", False, False, "", "CustomerName")],
+        "repo string, dataset string, entity string, pos int, property string, "
+        "data_type string, required boolean, unique boolean, description string, "
+        "source_column string",
+    )
+    b = M.create_bindings(props, keys=("repo", "dataset"))
+    row = b.first()
+    assert row["physical_column"] == "customer_name"
+    # a stray binding for a property not in the ontology → warning
+    stray = b.unionByName(
+        spark.createDataFrame(
+            [("r", "d", "E", "Ghost", "ghost", "String")],
+            "repo string, dataset string, entity string, property string, "
+            "physical_column string, expected_type string",
+        )
+    )
+    warnings = M.validate_bindings(stray, props, keys=("repo", "dataset")).collect()
+    assert len(warnings) == 1 and "Ghost" in warnings[0]["warning"]
+
+
+def test_permissions_from_dashboard(spark):
+    entities = spark.createDataFrame(
+        [("r", "d", "Customer"), ("r", "d", "Orders")],
+        "repo string, dataset string, entity string",
+    )
+    rels = spark.createDataFrame(
+        [("r", "d", "Orders", "Calendar")],
+        "repo string, dataset string, from_entity string, to_entity string",
+    )
+    measures = spark.createDataFrame(
+        [("r", "d", "Orders", "m1", "SUM(Shipments[Qty])")],
+        "repo string, dataset string, table string, measure string, dax_formula string",
+    )
+    perms = permissions_from_dashboard(entities, rels, measures)
+    names = {r["entity"] for r in perms.collect()}
+    assert names == {"Customer", "Orders", "Calendar", "Shipments"}
+
+    rules = spark.createDataFrame(
+        [("r", "d", "rule1", "Shipments", "q > 1", "filter", "", "", 1, "m1"),
+         ("r", "d", "rule2", "Elsewhere", "x > 1", "filter", "", "", 1, "m2")],
+        "repo string, dataset string, name string, entity string, condition string, "
+        "action string, classification string, description string, priority int, "
+        "source_measure string",
+    )
+    relevant = relevant_business_rules(rules, perms).collect()
+    assert [r["name"] for r in relevant] == ["rule1"]
