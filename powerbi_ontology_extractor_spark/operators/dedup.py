@@ -1,0 +1,284 @@
+"""Document deduplication for large-scale training-data pipelines.
+
+Five strategies over a documents table (id + text):
+
+- exact:      hash-groupBy on md5(text) — one shuffle, JVM-side
+- MinHash-LSH: shingle → minhash signature (numpy Arrow UDF) → band →
+               bucket-join → exact-Jaccard verify inside buckets
+- SimHash:    64-bit token-hash fingerprint; Hamming-≤k pairs found by
+               the pigeonhole band trick (split into k+1 chunks; any
+               pair within distance k shares ≥1 exact chunk)
+- n-gram Jaccard: exact verification metric (applied to LSH candidates;
+               never all-pairs)
+- embedding cosine: see similarity.py (ANN path)
+
+Scale notes: nothing here is O(n²).  Every candidate-generation step is
+a groupBy on a band/chunk key with bucket-size caps; exact verification
+only touches candidate pairs.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, LongType
+from pyspark.sql.window import Window
+
+from powerbi_ontology_extractor_spark.operators.canonicalize import (
+    connected_components,
+    lsh_candidate_pairs,
+)
+
+
+def exact_duplicate_groups(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Groups of byte-identical documents: (content_hash, n_docs,
+    doc_ids).  One hash aggregation; md5 chosen for cross-engine
+    comparability."""
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), F.md5(F.col(text_col)).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.array_sort(F.collect_list("doc_id")).alias("doc_ids"),
+        )
+        .where(F.col("n_docs") > 1)
+    )
+
+
+def exact_dedup(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Keep the min-id representative per identical text.  Window
+    row_number over the hash — the canonical survivor is deterministic.
+    """
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(id_col))
+    return (
+        docs.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def ngram_jaccard(
+    a: F.Column, b: F.Column, n: int = 3
+) -> F.Column:
+    """Exact word-n-gram Jaccard between two text columns, fully
+    JVM-side: tokenize → sliding n-grams via transform over an index
+    sequence → array_intersect/union."""
+
+    def grams(c: F.Column) -> F.Column:
+        toks = F.split(F.trim(F.lower(c)), r"\s+")
+        idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+        return F.array_distinct(
+            F.transform(
+                idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
+            )
+        )
+
+    ga, gb = grams(a), grams(b)
+    inter = F.size(F.array_intersect(ga, gb))
+    union = F.size(F.array_union(ga, gb))
+    return F.when(union == 0, F.lit(1.0)).otherwise(inter / union)
+
+
+def minhash_near_duplicates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 128,
+    bands: int = 32,
+    jaccard_threshold: float = 0.7,
+    ngram_n: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs: MinHash-LSH blocking, then exact n-gram
+    Jaccard verification inside blocks.  Output: (id1, id2, jaccard)."""
+    d = docs.select(
+        F.col(id_col).cast("string").alias("id"), F.col(text_col).alias("text")
+    )
+    cands = lsh_candidate_pairs(
+        d, "id", "text", num_hashes=num_hashes, bands=bands
+    )
+    t1 = d.select(F.col("id").alias("id1"), F.col("text").alias("text1"))
+    t2 = d.select(F.col("id").alias("id2"), F.col("text").alias("text2"))
+    return (
+        cands.join(t1, "id1")
+        .join(t2, "id2")
+        .withColumn(
+            "jaccard", ngram_jaccard(F.col("text1"), F.col("text2"), ngram_n)
+        )
+        .where(F.col("jaccard") >= jaccard_threshold)
+        .select("id1", "id2", "jaccard")
+    )
+
+
+def near_dedup_components(
+    pairs: DataFrame, docs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Collapse near-duplicate pairs to clusters (connected components)
+    and pick the min-id representative: (doc_id, cluster_id, keep)."""
+    comp = connected_components(pairs, "id1", "id2")
+    d = docs.select(F.col(id_col).cast("string").alias("doc_id"))
+    return d.join(comp, d["doc_id"] == comp["node"], "left").select(
+        "doc_id",
+        F.coalesce(F.col("component"), F.col("doc_id")).alias("cluster_id"),
+    ).withColumn("keep", F.col("doc_id") == F.col("cluster_id"))
+
+
+# --- SimHash ------------------------------------------------------------------
+
+
+@F.pandas_udf(LongType())
+def simhash64(text: pd.Series) -> pd.Series:
+    """64-bit SimHash over whitespace tokens (crc32-seeded, two 32-bit
+    halves), numpy-vectorized per document."""
+    out = []
+    for t in text:
+        toks = (t or "").lower().split()
+        if not toks:
+            out.append(0)
+            continue
+        h32 = np.fromiter(
+            (zlib.crc32(tok.encode("utf-8")) for tok in toks),
+            dtype=np.uint64,
+            count=len(toks),
+        )
+        h64 = (h32 << np.uint64(32)) | np.fromiter(
+            (zlib.crc32(tok.encode("utf-8"), 0x9E3779B9) for tok in toks),
+            dtype=np.uint64,
+            count=len(toks),
+        )
+        bits = ((h64[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(
+            np.int64
+        )
+        v = np.where(bits.sum(axis=0) * 2 > len(toks), 1, 0).astype(np.uint64)
+        sig = np.uint64(0)
+        for i in range(64):
+            sig |= v[i] << np.uint64(i)
+        out.append(int(sig) - (1 << 63))  # store as signed long
+    return pd.Series(out, dtype="int64")
+
+
+def simhash_near_duplicates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Pairs within Hamming distance ≤ k via the pigeonhole principle:
+    split the 64-bit signature into k+1 chunks; any pair at distance ≤k
+    agrees exactly on ≥1 chunk → groupBy chunk value finds all of them.
+    Output: (id1, id2, hamming)."""
+    chunks = max_hamming + 1
+    width = 64 // chunks
+    sigs = docs.select(
+        F.col(id_col).cast("string").alias("id"),
+        simhash64(F.col(text_col)).alias("sig"),
+    )
+    # chunk count is a plain Python int → unroll (shift amounts must be
+    # literals for shiftrightunsigned); width=64 needs no mask (and
+    # (1<<64)-1 doesn't fit a long literal)
+    def chunk_val(ci: int) -> F.Column:
+        shifted = F.shiftrightunsigned(F.col("sig"), ci * width)
+        if width < 64:
+            shifted = shifted.bitwiseAND(F.lit((1 << width) - 1))
+        return shifted
+
+    chunk_structs = F.array(
+        *[
+            F.struct(
+                F.lit(ci).alias("chunk_idx"),
+                chunk_val(ci).alias("chunk_val"),
+            )
+            for ci in range(chunks)
+        ]
+    )
+    banded = sigs.select(
+        "id", "sig", F.explode(chunk_structs).alias("c")
+    ).select("id", "sig", F.col("c.chunk_idx"), F.col("c.chunk_val"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id1"),
+            F.col("b.id").alias("id2"),
+            F.col("a.sig").alias("sig1"),
+            F.col("b.sig").alias("sig2"),
+        )
+        .dropDuplicates(["id1", "id2"])
+    )
+    hamming = F.bit_count(F.col("sig1").bitwiseXOR(F.col("sig2")))
+    return (
+        cands.withColumn("hamming", hamming)
+        .where(F.col("hamming") <= max_hamming)
+        .select("id1", "id2", "hamming")
+    )
+
+
+# --- embedding near-dup --------------------------------------------------------
+
+
+def cosine_similarity_col(a: F.Column, b: F.Column) -> F.Column:
+    """Cosine between two array<float/double> columns — built-in
+    zip_with/aggregate, JVM-side."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    na = F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+        )
+    )
+    nb = F.sqrt(
+        F.aggregate(
+            b, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+        )
+    )
+    return F.when((na == 0) | (nb == 0), F.lit(0.0)).otherwise(dot / (na * nb))
+
+
+def embedding_near_duplicates(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    planes: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate vectors by cosine ≥ threshold, blocked by
+    random-hyperplane LSH (sign signature groupBy) so only same-bucket
+    pairs are scored.  Output: (id1, id2, cosine)."""
+    from powerbi_ontology_extractor_spark.operators.similarity import (
+        hyperplane_bucket_udf,
+    )
+
+    e = embeddings.select(
+        F.col(id_col).cast("string").alias("id"), F.col(vec_col).alias("vec")
+    ).withColumn("bucket", hyperplane_bucket_udf(planes, seed)(F.col("vec")))
+    a, b = e.alias("a"), e.alias("b")
+    cands = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")),
+    ).select(
+        F.col("a.id").alias("id1"),
+        F.col("b.id").alias("id2"),
+        F.col("a.vec").alias("v1"),
+        F.col("b.vec").alias("v2"),
+    )
+    return (
+        cands.withColumn("cosine", cosine_similarity_col(F.col("v1"), F.col("v2")))
+        .where(F.col("cosine") >= threshold)
+        .select("id1", "id2", "cosine")
+    )
