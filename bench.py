@@ -1,0 +1,107 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+Headline set = the KG-construction pipeline (corpus → triples, the
+engine's raison d'être, reported as triples/sec against the reference's
+~14,150 triples/s single-core baseline in BASELINE.md) + the heavy
+relational/dedup queries from __spark_entry__.
+
+Usage:
+    python bench.py                     # sf0.1, 32 cores
+    SPARK_GRAFT_CPUS=8 python bench.py  # scaling point
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    kg_repos = int(os.environ.get("SPARK_GRAFT_KG_REPOS", "400"))
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __spark_entry__ as entry
+    from powerbi_ontology_extractor_spark import get_spark
+    from powerbi_ontology_extractor_spark.pipeline import build_triples
+    from powerbi_ontology_extractor_spark.sources.corpus import corpus_df
+    from powerbi_ontology_extractor_spark.operators.dedup import (
+        minhash_near_duplicates,
+    )
+
+    spark = get_spark(app_name="pbi-kg-bench", parallelism=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    # warm the JVM/Arrow/codegen paths so timings measure the queries,
+    # not first-plan compilation (~20s of whole-stage-codegen JIT)
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    build_triples(corpus_df(spark, n_repos=4)).count()
+
+    def timed(name: str, fn) -> None:
+        t0 = time.perf_counter()
+        result = fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        return result
+
+    # 1. KG pipeline: corpus → triples (the flagship)
+    corpus = corpus_df(
+        spark, n_repos=kg_repos, num_partitions=max(cpus, 8)
+    ).persist()
+    corpus.count()  # materialize synthesis outside the timed window
+    n_triples = timed("kg_build_triples", lambda: build_triples(corpus).count())
+    extras["kg_triples"] = n_triples
+    extras["kg_repos"] = kg_repos
+    extras["kg_triples_per_sec"] = round(n_triples / timings["kg_build_triples"], 1)
+    extras["kg_artifacts_per_sec"] = round(
+        (kg_repos * 13) / timings["kg_build_triples"], 1
+    )
+
+    # 2. relational headline queries from the driver contract
+    q = entry.queries()
+    for name in [
+        "q_pricing_summary",
+        "q_top_orders",
+        "q_region_volume",
+        "q_top_order_per_customer",
+        "q_events_hourly",
+        "q_embed_topk",
+        "q_docs_token_counts",
+    ]:
+        timed(name, lambda n=name: q[n](spark, sf_dir)._jdf.toJavaRDD().count()
+              if False else q[n](spark, sf_dir).count())
+
+    # 3. near-dup dedup over documents (LSH + verify)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    timed(
+        "minhash_dedup_docs",
+        lambda: minhash_near_duplicates(docs, jaccard_threshold=0.7).count(),
+    )
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "cpus": cpus,
+                **extras,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

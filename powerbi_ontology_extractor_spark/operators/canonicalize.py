@@ -48,8 +48,18 @@ def _hash_params(num_hashes: int, seed: int = 42) -> tuple[np.ndarray, np.ndarra
     return a, b
 
 
-def make_minhash_udf(num_hashes: int = 64, shingle_k: int = 4, seed: int = 42):
+def make_minhash_udf(
+    num_hashes: int = 64,
+    shingle_k: int = 4,
+    seed: int = 42,
+    unit: str = "char",
+):
     """Returns an Arrow-batched UDF: Series[str] → Series[list[long]].
+
+    ``unit``: 'char' (character k-shingles — right for short strings
+    like formulas/names) or 'word' (word k-shingles — right for
+    documents, where char shingles from a shared vocabulary make
+    everything look similar and LSH degenerates into one giant bucket).
 
     Signature math is one (num_shingles × num_hashes) numpy broadcast
     per document — no per-character Python.
@@ -61,7 +71,16 @@ def make_minhash_udf(num_hashes: int = 64, shingle_k: int = 4, seed: int = 42):
         out = []
         for t in text:
             t = (t or "").lower()
-            if len(t) < shingle_k:
+            if unit == "word":
+                toks = t.split()
+                if len(toks) < shingle_k:
+                    shingles = {" ".join(toks)} if toks else {""}
+                else:
+                    shingles = {
+                        " ".join(toks[i : i + shingle_k])
+                        for i in range(len(toks) - shingle_k + 1)
+                    }
+            elif len(t) < shingle_k:
                 shingles = {t} if t else {""}
             else:
                 shingles = {t[i : i + shingle_k] for i in range(len(t) - shingle_k + 1)}
@@ -84,6 +103,8 @@ def lsh_candidate_pairs(
     num_hashes: int = 64,
     bands: int = 16,
     max_bucket: int = 200,
+    unit: str = "char",
+    shingle_k: int = 4,
 ) -> DataFrame:
     """(id1, id2) candidate pairs sharing ≥1 LSH band bucket.
 
@@ -92,7 +113,7 @@ def lsh_candidate_pairs(
     B² pairs).  Pair dedup across bands via dropDuplicates.
     """
     rows_per_band = num_hashes // bands
-    minhash = make_minhash_udf(num_hashes)
+    minhash = make_minhash_udf(num_hashes, shingle_k=shingle_k, unit=unit)
     sigs = df.select(
         F.col(id_col).alias("id"), minhash(F.col(text_col)).alias("sig")
     )

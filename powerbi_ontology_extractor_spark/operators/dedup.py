@@ -101,8 +101,11 @@ def minhash_near_duplicates(
     d = docs.select(
         F.col(id_col).cast("string").alias("id"), F.col(text_col).alias("text")
     )
+    # word shingles: char shingles over a shared vocabulary collapse the
+    # whole corpus into a handful of LSH buckets (quadratic pair blowup)
     cands = lsh_candidate_pairs(
-        d, "id", "text", num_hashes=num_hashes, bands=bands
+        d, "id", "text", num_hashes=num_hashes, bands=bands,
+        unit="word", shingle_k=ngram_n,
     )
     t1 = d.select(F.col("id").alias("id1"), F.col("text").alias("text1"))
     t2 = d.select(F.col("id").alias("id2"), F.col("text").alias("text2"))

@@ -206,7 +206,9 @@ def entities_df(models: DataFrame) -> DataFrame:
         _nz(F.col("t.name"), "Unknown").alias("entity"),
         _nz(F.col("t.description")).alias("description"),
         _nz(F.col("t.name"), "Unknown").alias("source_table"),
-        F.element_at(key_cols, 1)["name"].alias("primary_key"),
+        # try_element_at: tables may have no key column (ANSI element_at
+        # throws on the empty array)
+        F.try_element_at(key_cols, F.lit(1))["name"].alias("primary_key"),
         F.size(_nz_arr(F.col("t.columns"))).alias("n_properties"),
     )
 
@@ -413,15 +415,30 @@ def security_rules_df(models: DataFrame) -> DataFrame:
     )
 
 
-def extract_all(corpus: DataFrame) -> dict[str, DataFrame]:
+def extract_all(corpus: DataFrame, materialize: bool = False) -> dict[str, DataFrame]:
     """Run the whole extraction stage; returns the model DataFrames.
 
     ``models`` is persisted because five families derive from it
     (the reference memoizes the parsed model the same way,
     pbix_reader.py:118-127).
+
+    ``materialize=True`` additionally localCheckpoints every family —
+    the stage-boundary pattern the full pipeline uses: the downstream
+    triple-emission union fans out into ~40 branches, and without a
+    barrier each branch would re-scan the parsed-model cache (dozens of
+    extra stages; at cluster scale this boundary is an Iceberg write,
+    see plans/manifest).
     """
-    models = parse_models(corpus).persist()
-    return {
+    models = parse_models(corpus)
+    if materialize:
+        # materialize models BEFORE the family fan-out: the families
+        # checkpoint concurrently, and an unmaterialized cache gets
+        # stampeded — every concurrent job re-parses all model JSON
+        # (measured: 30-40 parses per artifact, anti-scaling)
+        models = models.localCheckpoint(eager=True)
+    else:
+        models = models.persist()
+    out = {
         "models": models,
         "entities": entities_df(models),
         "properties": properties_df(models),
@@ -429,4 +446,40 @@ def extract_all(corpus: DataFrame) -> dict[str, DataFrame]:
         "measures": measures_df(models, corpus),
         "hierarchies": hierarchies_df(models),
         "security_rules": security_rules_df(models),
+        "datasets": models.select("repo", "dataset", "path").dropDuplicates(
+            ["repo", "dataset"]
+        ),
     }
+    if materialize:
+        # only the frames that are expensive to recompute or consumed by
+        # the concurrent UDF stage get a barrier; the other families are
+        # cheap narrow projections of the models checkpoint, and extra
+        # barriers just add serial job-latency rounds
+        keys = ["measures", "datasets"]
+        out.update(zip(keys, checkpoint_parallel([out[k] for k in keys])))
+    return out
+
+
+def checkpoint_parallel(dfs: list[DataFrame]) -> list[DataFrame]:
+    """Eager-localCheckpoint several DataFrames concurrently — Spark
+    accepts concurrent job submission, so the stage-boundary barrier
+    costs max(job latency), not sum.
+
+    Each frame is coalesced to ~core-count partitions first: the
+    boundary tables are orders of magnitude smaller than the corpus,
+    and the ~40 downstream emission stages each pay per-task scheduling
+    overhead per partition."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    if not dfs:
+        return []
+    cores = dfs[0].sparkSession.sparkContext.defaultParallelism
+    target = max(min(cores, 64), 4)
+
+    def ckpt(d: DataFrame) -> DataFrame:
+        if d.rdd.getNumPartitions() > target:
+            d = d.coalesce(target)
+        return d.localCheckpoint(eager=True)
+
+    with ThreadPoolExecutor(max_workers=len(dfs)) as ex:
+        return list(ex.map(ckpt, dfs))

@@ -115,6 +115,7 @@ def ontology_entities_df(
     properties: DataFrame,
     relationships: DataFrame,
     measures: DataFrame,
+    patterns: DataFrame | None = None,
 ) -> DataFrame:
     """Entities + final entity_type.
 
@@ -124,8 +125,10 @@ def ontology_entities_df(
     fact > dimension > date_table; with none, the base classification
     ('date' if the name is datey, else 'standard', :368-374).
     """
+    if patterns is None:
+        patterns = detect_patterns(entities, properties, relationships, measures)
     pivoted = (
-        detect_patterns(entities, properties, relationships, measures)
+        patterns
         .groupBy("repo", "dataset", "entity")
         .agg(F.collect_set("pattern_type").alias("patterns"))
     )
@@ -146,6 +149,72 @@ def ontology_entities_df(
         "source_table",
         "primary_key",
         "n_properties",
+        entity_type.alias("entity_type"),
+    )
+
+
+def ontology_entities_from_models(models: DataFrame) -> DataFrame:
+    """Shuffle-free entity typing: every signal the pattern detectors
+    need (relationship degree, measure count, date-like columns) lives
+    INSIDE the model row's own arrays, so the whole computation is one
+    narrow map over the parsed models — no groupBys, no joins.
+
+    Semantics identical to :func:`ontology_entities_df` /
+    ontology_generator.py:258-312 (verified by the shared golden tests);
+    the join-based variant remains for callers that only have flattened
+    family tables.
+    """
+    t = models.select(
+        "repo",
+        "dataset",
+        F.coalesce(F.col("model.relationships"), F.array()).alias("rels"),
+        F.explode(F.coalesce(F.col("model.tables"), F.array())).alias("t"),
+    )
+    name = F.coalesce(F.col("t.name"), F.lit("Unknown"))
+    cols = F.coalesce(F.col("t.columns"), F.array())
+    measures = F.coalesce(F.col("t.measures"), F.array())
+    # reference counts relationship ROWS matching (from==e OR to==e),
+    # so a self-loop contributes once (ontology_generator.py:287-290)
+    degree = F.size(
+        F.filter(
+            F.col("rels"),
+            lambda r: (F.coalesce(r["fromTable"], F.lit("")) == name)
+            | (F.coalesce(r["toTable"], F.lit("")) == name),
+        )
+    )
+    date_kw = lambda c: (
+        F.lower(F.coalesce(c["name"], F.lit(""))).contains("year")
+        | F.lower(F.coalesce(c["name"], F.lit(""))).contains("month")
+        | F.lower(F.coalesce(c["name"], F.lit(""))).contains("day")
+        | F.lower(F.coalesce(c["name"], F.lit(""))).contains("quarter")
+        | F.lower(F.coalesce(c["name"], F.lit(""))).contains("week")
+    )
+    has_date_cols = F.exists(cols, date_kw)
+    n_props = F.size(cols)
+    measure_count = F.size(measures)
+    is_fact = (measure_count > 0) & (degree <= 3)
+    is_dim = (degree >= 3) & (n_props < 20)
+    is_date_table = _name_is_datey(name) & has_date_cols
+    entity_type = (
+        F.when(is_fact, "fact")
+        .when(is_dim, "dimension")
+        .when(is_date_table, "date_table")
+        .when(_name_is_datey(name), "date")
+        .otherwise("standard")
+    )
+    key_cols = F.filter(
+        cols,
+        lambda c: F.coalesce(c["isKey"], F.lit(False))
+        | F.coalesce(c["isUnique"], F.lit(False)),
+    )
+    return t.select(
+        "repo",
+        "dataset",
+        name.alias("entity"),
+        F.coalesce(F.col("t.description"), F.lit("")).alias("description"),
+        name.alias("source_table"),
+        F.try_element_at(key_cols, F.lit(1))["name"].alias("primary_key"),
+        n_props.alias("n_properties"),
         entity_type.alias("entity_type"),
     )
 
@@ -274,26 +343,49 @@ def suggest_enhancements(properties: DataFrame) -> DataFrame:
     )
 
 
-def generate_ontology(model_dfs: dict[str, DataFrame]) -> dict[str, DataFrame]:
-    """Full ontology stage over the extraction outputs."""
-    parsed = parse_measures(model_dfs["measures"]).persist()
-    return {
-        "parsed_measures": parsed,
-        "ontology_entities": ontology_entities_df(
+def generate_ontology(
+    model_dfs: dict[str, DataFrame], materialize: bool = False
+) -> dict[str, DataFrame]:
+    """Full ontology stage over the extraction outputs.
+
+    ``materialize=True`` localCheckpoints the outputs that the triple
+    fan-out consumes more than once (stage-boundary pattern; at cluster
+    scale this is an Iceberg write, see plans/manifest).
+    """
+    # localCheckpoint, NOT persist: building the columnar cache over the
+    # UDF-produced array<struct> column is pathologically slow (~20×);
+    # the checkpoint materializes once and cuts the lineage
+    parsed = parse_measures(model_dfs["measures"]).localCheckpoint(eager=True)
+    patterns = detect_patterns(
+        model_dfs["entities"],
+        model_dfs["properties"],
+        model_dfs["relationships"],
+        model_dfs["measures"],
+    )
+    if "models" in model_dfs:
+        # shuffle-free narrow path (same semantics, zero exchanges)
+        onto_entities = ontology_entities_from_models(model_dfs["models"])
+    else:
+        onto_entities = ontology_entities_df(
             model_dfs["entities"],
             model_dfs["properties"],
             model_dfs["relationships"],
             model_dfs["measures"],
-        ),
+            patterns=patterns,
+        )
+    out = {
+        "parsed_measures": parsed,
+        "ontology_entities": onto_entities,
         "ontology_relationships": ontology_relationships_df(
             model_dfs["relationships"]
         ),
         "business_rules": business_rules_df(parsed),
         "enhancements": suggest_enhancements(model_dfs["properties"]),
-        "patterns": detect_patterns(
-            model_dfs["entities"],
-            model_dfs["properties"],
-            model_dfs["relationships"],
-            model_dfs["measures"],
-        ),
+        "patterns": patterns,
     }
+    # materialize=True needs no further barriers here: parsed_measures is
+    # already checkpointed (the UDF output), and with the narrow entity
+    # path everything else is a cheap map over the models checkpoint —
+    # extra barriers only add serial job-latency rounds
+    del materialize
+    return out

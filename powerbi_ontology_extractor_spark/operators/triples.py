@@ -92,6 +92,11 @@ def _lit(col: Column | str) -> Column:
 
 
 def datasets_df(models: DataFrame) -> DataFrame:
+    """(repo, dataset, path) — one row per exported ontology.  Callers
+    inside the pipeline should pass the pre-materialized ``datasets``
+    frame from extract_all instead of re-deriving from ``models``."""
+    if set(models.columns) == {"repo", "dataset", "path"}:
+        return models
     return models.select("repo", "dataset", "path").dropDuplicates(
         ["repo", "dataset"]
     )
@@ -194,7 +199,10 @@ def base_class_triples(
 
 def entity_triples(ontology_entities: DataFrame) -> DataFrame:
     """owl.py:183-199 — dataset→table schema triples."""
-    e = _uri("ont:", safe_name(F.col("entity")))
+    ontology_entities = ontology_entities.withColumn(
+        "_ent", _uri("ont:", safe_name(F.col("entity")))
+    )
+    e = F.col("_ent")
     return _rows(
         ontology_entities,
         [
@@ -212,10 +220,16 @@ def property_triples(properties: DataFrame) -> DataFrame:
     FunctionalProperty tag for unique columns and the 4-triple
     minCardinality restriction for required columns (owl.py:244-262,
     deterministic bnode IRI)."""
-    ent = _uri("ont:", safe_name(F.col("entity")))
-    prop = _uri(
-        "ont:", safe_name(F.col("entity")), "_", safe_name(F.col("property"))
+    # precompute URI columns once: duplicating the concat/translate
+    # trees into every triple spec multiplies codegen size ~10x
+    properties = properties.withColumn(
+        "_ent", _uri("ont:", safe_name(F.col("entity")))
+    ).withColumn(
+        "_prop",
+        _uri("ont:", safe_name(F.col("entity")), "_", safe_name(F.col("property"))),
     )
+    ent = F.col("_ent")
+    prop = F.col("_prop")
     base = _rows(
         properties,
         [
@@ -234,14 +248,18 @@ def property_triples(properties: DataFrame) -> DataFrame:
             ),
         ],
     )
-    bnode = F.concat(
-        F.lit("_:r_"),
-        F.sha1(
-            F.concat_ws("|", F.col("dataset"), F.col("entity"), F.col("property"))
+    required_df = properties.where(F.col("required")).withColumn(
+        "_bnode",
+        F.concat(
+            F.lit("_:r_"),
+            F.sha1(
+                F.concat_ws("|", F.col("dataset"), F.col("entity"), F.col("property"))
+            ),
         ),
     )
+    bnode = F.col("_bnode")
     required = _rows(
-        properties.where(F.col("required")),
+        required_df,
         [
             (bnode, "rdf:type", F.lit("owl:Restriction"), False, ""),
             (bnode, "owl:onProperty", prop, False, ""),
@@ -260,24 +278,32 @@ def property_triples(properties: DataFrame) -> DataFrame:
 
 def relationship_triples(ontology_relationships: DataFrame) -> DataFrame:
     """owl.py:311-338 — FK relationship edges as object properties."""
-    rel = _uri(
-        "ont:",
-        safe_name(
-            F.concat_ws(
-                "_",
-                F.col("from_entity"),
-                F.col("relationship_type"),
-                F.col("to_entity"),
-            )
-        ),
+    ontology_relationships = (
+        ontology_relationships.withColumn(
+            "_rel",
+            _uri(
+                "ont:",
+                safe_name(
+                    F.concat_ws(
+                        "_",
+                        F.col("from_entity"),
+                        F.col("relationship_type"),
+                        F.col("to_entity"),
+                    )
+                ),
+            ),
+        )
+        .withColumn("_from", _uri("ont:", safe_name(F.col("from_entity"))))
+        .withColumn("_to", _uri("ont:", safe_name(F.col("to_entity"))))
     )
+    rel = F.col("_rel")
     return _rows(
         ontology_relationships,
         [
             (rel, "rdf:type", F.lit("owl:ObjectProperty"), False, ""),
             (rel, "rdfs:label", F.col("relationship_type"), True, ""),
-            (rel, "rdfs:domain", _uri("ont:", safe_name(F.col("from_entity"))), False, ""),
-            (rel, "rdfs:range", _uri("ont:", safe_name(F.col("to_entity"))), False, ""),
+            (rel, "rdfs:domain", F.col("_from"), False, ""),
+            (rel, "rdfs:range", F.col("_to"), False, ""),
             (rel, "rdfs:comment", _lit(F.col("description")), True, ""),
             (rel, "ont:sourceRelationship", _lit(F.col("source_relationship")), True, ""),
             (rel, "ont:cardinality", F.col("cardinality"), True, ""),
@@ -290,8 +316,13 @@ def relationship_triples(ontology_relationships: DataFrame) -> DataFrame:
 def business_rule_triples(business_rules: DataFrame) -> DataFrame:
     """owl.py:340-384 — rule class + rule instance with sanitized DAX
     condition (measure→rule lineage)."""
-    rule_cls = _uri("ont:", safe_name(F.col("name")), "Rule")
-    rule_inst = _uri("ont:", safe_name(F.col("name")), "RuleInstance")
+    business_rules = business_rules.withColumn(
+        "_cls", _uri("ont:", safe_name(F.col("name")), "Rule")
+    ).withColumn(
+        "_inst", _uri("ont:", safe_name(F.col("name")), "RuleInstance")
+    ).withColumn("_ent_uri", _uri("ont:", safe_name(F.col("entity"))))
+    rule_cls = F.col("_cls")
+    rule_inst = F.col("_inst")
     return _rows(
         business_rules,
         [
@@ -304,8 +335,7 @@ def business_rule_triples(business_rules: DataFrame) -> DataFrame:
                 rule_inst,
                 "ont:appliesTo",
                 F.when(
-                    _lit(F.col("entity")).isNotNull(),
-                    _uri("ont:", safe_name(F.col("entity"))),
+                    _lit(F.col("entity")).isNotNull(), F.col("_ent_uri")
                 ),
                 False,
                 "",
@@ -355,26 +385,31 @@ def crud_triples(
     df = ontology_entities.select("repo", "dataset", "entity").crossJoin(
         F.broadcast(combo_df)
     )
-    subj = _uri(
-        "ont:",
-        F.col("action"),
-        "_",
-        safe_name(F.col("entity")),
-        "_",
-        safe_name(F.col("role")),
+    df = (
+        df.withColumn(
+            "_subj",
+            _uri(
+                "ont:", F.col("action"), "_", safe_name(F.col("entity")),
+                "_", safe_name(F.col("role")),
+            ),
+        )
+        .withColumn("_ent_uri", _uri("ont:", safe_name(F.col("entity"))))
+        .withColumn("_role_uri", _uri("ont:", safe_name(F.col("role"))))
     )
+    subj = F.col("_subj")
     return _rows(
         df,
         [
             (subj, "rdf:type", F.col("action_class"), False, ""),
-            (subj, "ont:appliesTo", _uri("ont:", safe_name(F.col("entity"))), False, ""),
-            (subj, "ont:requiresRole", _uri("ont:", safe_name(F.col("role"))), False, ""),
+            (subj, "ont:appliesTo", F.col("_ent_uri"), False, ""),
+            (subj, "ont:requiresRole", F.col("_role_uri"), False, ""),
             (subj, "ont:allowsAction", F.col("action"), True, ""),
         ],
     )
 
 
 def rls_triples(security_rules: DataFrame, models: DataFrame) -> DataFrame:
+    # `models` may be the pre-derived datasets frame
     """owl.py:411-455 — RLS rules as ReadAction instances.
 
     The 3 one-time daxFilter property triples are emitted per dataset
@@ -397,10 +432,14 @@ def rls_triples(security_rules: DataFrame, models: DataFrame) -> DataFrame:
             ),
         ],
     )
-    role_uri = _uri("ont:", safe_name(F.col("role")))
-    rls = _uri(
-        "ont:RLS_", safe_name(F.col("role")), "_", safe_name(F.col("table"))
+    security_rules = security_rules.withColumn(
+        "_role_uri", _uri("ont:", safe_name(F.col("role")))
+    ).withColumn(
+        "_rls",
+        _uri("ont:RLS_", safe_name(F.col("role")), "_", safe_name(F.col("table"))),
     )
+    role_uri = F.col("_role_uri")
+    rls = F.col("_rls")
     per_rule = _rows(
         security_rules,
         [
@@ -442,13 +481,19 @@ def lineage_triples(parsed_measures: DataFrame) -> DataFrame:
         "measure_type",
         F.explode_outer("lineage_deps").alias("dep"),
     )
-    subj = _uri("ont:measure_", safe_name(F.col("measure")))
+    heads = parsed_measures.select(
+        "repo", "dataset", "table", "measure", "measure_type"
+    ).withColumn("_subj", _uri("ont:measure_", safe_name(F.col("measure"))))
+    m = m.withColumn(
+        "_subj", _uri("ont:measure_", safe_name(F.col("measure")))
+    )
+    subj = F.col("_subj")
     dep_uri = F.when(
         F.col("dep").endswith(".*"),
         _uri("ont:", safe_name(F.expr("rtrim('.*', dep)"))),
     ).otherwise(_uri("ont:", safe_name(F.col("dep"))))
     head = _rows(
-        parsed_measures.select("repo", "dataset", "table", "measure", "measure_type"),
+        heads,
         [
             (subj, "rdf:type", F.lit("ont:Measure"), False, ""),
             (subj, "ont:measureType", F.col("measure_type"), True, ""),
@@ -472,16 +517,18 @@ def export_triples(
     """Full OWL export (owl.py:79-112 orchestration): union of all
     families + set dedup.  Matches the reference graph triple-for-triple
     per (repo, dataset) on the model/ontology families."""
-    models = model_dfs["models"]
+    datasets = model_dfs.get("datasets")
+    if datasets is None:
+        datasets = datasets_df(model_dfs["models"])
     fams = [
-        ontology_metadata_triples(models, generated_at),
-        base_class_triples(models, roles),
+        ontology_metadata_triples(datasets, generated_at),
+        base_class_triples(datasets, roles),
         entity_triples(ontology_dfs["ontology_entities"]),
         property_triples(model_dfs["properties"]),
         relationship_triples(ontology_dfs["ontology_relationships"]),
         business_rule_triples(ontology_dfs["business_rules"]),
         crud_triples(ontology_dfs["ontology_entities"], roles),
-        rls_triples(model_dfs["security_rules"], models),
+        rls_triples(model_dfs["security_rules"], datasets),
     ]
     if include_lineage:
         fams.append(lineage_triples(ontology_dfs["parsed_measures"]))

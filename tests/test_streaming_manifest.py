@@ -1,0 +1,125 @@
+"""Structured Streaming ingestion + resumable manifest runs."""
+
+import hashlib
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from powerbi_ontology_extractor_spark.plans.manifest import (
+    ManifestRunner,
+    run_pipeline_resumable,
+)
+from powerbi_ontology_extractor_spark.sources.corpus import corpus_df
+from powerbi_ontology_extractor_spark.streaming.ingest import (
+    incremental_triples,
+    sessionize_batch,
+    stream_corpus,
+    windowed_event_counts,
+)
+
+
+def test_windowed_event_counts_batch(spark, sf_dir):
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = windowed_event_counts(events)
+    rows = out.collect()
+    assert len(rows) > 0
+    assert out.agg(F.sum("n")).first()[0] == events.count()
+    # window bounds are exactly 1 hour apart
+    r = rows[0]
+    assert (r["window_end"] - r["window_start"]).total_seconds() == 3600
+
+
+def test_sessionize_batch(spark):
+    rows = [
+        (1, "2024-01-01 10:00:00", 1.0),
+        (1, "2024-01-01 10:10:00", 2.0),
+        (1, "2024-01-01 12:00:00", 3.0),  # >30min gap → new session
+        (2, "2024-01-01 09:00:00", 5.0),
+    ]
+    e = spark.createDataFrame(rows, "user_id long, ts string, value double").select(
+        "user_id", F.to_timestamp("ts").alias("ts"), "value"
+    )
+    s = sessionize_batch(e).collect()
+    by_user = {}
+    for r in s:
+        by_user.setdefault(r["user_id"], []).append(r)
+    assert len(by_user[1]) == 2
+    first = sorted(by_user[1], key=lambda r: r["session_start"])[0]
+    assert first["n_events"] == 2 and first["total_value"] == 3.0
+    assert len(by_user[2]) == 1
+
+
+def test_incremental_triples_stream(spark, tmp_path):
+    corpus_dir = str(tmp_path / "corpus")
+    out_dir = str(tmp_path / "triples_out")
+    ckpt = str(tmp_path / "ckpt")
+    c = corpus_df(spark, n_repos=2)
+    c.write.mode("overwrite").parquet(corpus_dir)
+
+    q = incremental_triples(
+        stream_corpus(spark, corpus_dir), out_dir, ckpt, available_now=True
+    )
+    q.awaitTermination(240)
+    got = spark.read.parquet(out_dir)
+    from powerbi_ontology_extractor_spark.pipeline import build_triples
+
+    expected = build_triples(c).count()
+    assert got.count() == expected
+    assert "batch_id" in got.columns
+
+    # second AvailableNow run over the same data: checkpoint makes it a
+    # no-op (exactly-once)
+    q2 = incremental_triples(
+        stream_corpus(spark, corpus_dir), out_dir, ckpt, available_now=True
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out_dir).count() == expected
+
+
+def test_manifest_resume(spark, tmp_path):
+    run_dir = str(tmp_path / "run")
+    c = corpus_df(spark, n_repos=2)
+    out = run_pipeline_resumable(spark, c, run_dir, repo_buckets=4)
+    n1 = out["triples"].count()
+    assert n1 > 0
+    assert out["corrupt_rows"].count() == 0
+
+    manifest = ManifestRunner(spark, run_dir)
+    recs = {r.stage: r for r in manifest.records()}
+    assert set(recs) == {"corrupt_rows", "triples", "nodes", "edges"}
+    assert recs["triples"].rows == n1
+    assert recs["triples"].status == "completed"
+    assert sum(recs["triples"].partition_rows) == n1
+
+    # tamper-proof resume: delete nothing, rerun → same outputs, no new
+    # manifest rows (stages skipped)
+    before = len(manifest.records())
+    out2 = run_pipeline_resumable(spark, c, run_dir, repo_buckets=4)
+    assert out2["triples"].count() == n1
+    assert len(ManifestRunner(spark, run_dir).records()) == before
+
+    # different corpus → fingerprint change → recompute (new records)
+    c2 = corpus_df(spark, n_repos=3)
+    out3 = run_pipeline_resumable(spark, c2, run_dir, repo_buckets=4)
+    assert out3["triples"].count() > n1
+    assert len(ManifestRunner(spark, run_dir).records()) > before
+
+
+def test_manifest_quarantines_corrupt_rows(spark, tmp_path):
+    run_dir = str(tmp_path / "runq")
+    c = corpus_df(spark, n_repos=2)
+    # corrupt one row's recorded sha
+    bad = c.withColumn(
+        "content_sha256",
+        F.when(F.col("lang") == "report_json", F.lit("deadbeef")).otherwise(
+            F.col("content_sha256")
+        ),
+    )
+    out = run_pipeline_resumable(spark, bad, run_dir, repo_buckets=4)
+    assert out["corrupt_rows"].count() == 2  # one report per repo
+    # quarantined rows contribute no triples
+    assert (
+        out["triples"].where(F.col("pred") == "ont:bindsField").count() == 0
+    )
