@@ -71,25 +71,32 @@ def contract_triples(
     read_set: DataFrame,
     agent_name: str = "agent",
     role: str = "Viewer",
+    permission: str = "read",
 ) -> DataFrame:
-    """Contract → OWL read-permission triples (the grammar of
-    export/contract_to_owl.py:225-247: ReadAction instances with
-    appliesTo/requiresRole per readable entity)."""
+    """Contract → OWL permission triples (the grammar of
+    export/contract_to_owl.py:69-111: Read/Write/ExecuteAction
+    instances with appliesTo/requiresRole per granted entity)."""
+    action_class = {
+        "read": "ont:ReadAction",
+        "write": "ont:WriteAction",
+        "execute": "ont:ExecuteAction",
+    }[permission]
     df = read_set.withColumn("agent", F.lit(agent_name)).withColumn(
         "role", F.lit(role)
     )
     subj = _uri(
         "ont:contract_",
         safe_name(F.col("agent")),
-        "_read_",
+        f"_{permission}_",
         safe_name(F.col("entity")),
     )
     return _rows(
         df,
         [
-            (subj, "rdf:type", F.lit("ont:ReadAction"), False, ""),
+            (subj, "rdf:type", F.lit(action_class), False, ""),
             (subj, "ont:appliesTo", _uri("ont:", safe_name(F.col("entity"))), False, ""),
             (subj, "ont:requiresRole", _uri("ont:", safe_name(F.col("role"))), False, ""),
+            (subj, "ont:allowsAction", F.lit(permission), True, ""),
             (subj, "ont:grantedBy", F.col("agent"), True, ""),
         ],
     )

@@ -47,6 +47,39 @@ def build_triples(
     return triples
 
 
+def build_triples_canonicalized(
+    corpus: DataFrame,
+    roles: list[str] = DEFAULT_ROLES,
+    generated_at: str = DEFAULT_GENERATED_AT,
+    min_prop_jaccard: float = 0.5,
+) -> tuple[DataFrame, DataFrame]:
+    """Full north-star path: triples + cross-repo entity canonicalization
+    (MinHash-LSH blocking → connected components → canonical IRIs)
+    applied BEFORE node/edge materialization.
+
+    Returns (canonical_triples, mapping).  Canonical triples carry
+    subj_orig/obj_orig provenance columns.
+    """
+    from powerbi_ontology_extractor_spark.operators.canonicalize import (
+        entity_canonical_mapping,
+        rewrite_triples_canonical,
+    )
+
+    model_dfs = extract_all(corpus, materialize=True)
+    onto_dfs = generate_ontology(model_dfs, materialize=True)
+    triples = export_triples(onto_dfs, model_dfs, roles, generated_at)
+    triples = triples.unionByName(
+        m_datasource_triples(corpus, model_dfs["datasets"])
+    ).unionByName(report_triples(corpus, model_dfs["datasets"]))
+    triples = triples.dropDuplicates(TRIPLE_COLS)
+    mapping = entity_canonical_mapping(
+        onto_dfs["ontology_entities"],
+        model_dfs["properties"],
+        min_prop_jaccard=min_prop_jaccard,
+    )
+    return rewrite_triples_canonical(triples, mapping), mapping
+
+
 def nodes_edges(triples: DataFrame) -> tuple[DataFrame, DataFrame]:
     """Materialize the graph as node/edge tables (north-star output;
     replaces the reference's networkx DiGraph at
