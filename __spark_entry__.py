@@ -509,6 +509,27 @@ def _q_docs_lang_distribution(spark, sf_dir):
     )
 
 
+def _q_docs_ngram_jaccard_adjacent(spark, sf_dir):
+    """Exact word-trigram Jaccard between consecutive docs (the
+    verification metric of the MinHash dedup path) — pure JVM arrays."""
+    from powerbi_ontology_extractor_spark.operators.dedup import ngram_jaccard
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    a = d.select(F.col("doc_id").alias("id1"), F.col("text").alias("t1"))
+    b = d.select(F.col("doc_id").alias("id2"), F.col("text").alias("t2"))
+    return (
+        a.join(b, F.col("id2") == F.col("id1") + 1)
+        .select(
+            "id1",
+            "id2",
+            F.round(ngram_jaccard(F.col("t1"), F.col("t2"), 3), 6).alias(
+                "jaccard"
+            ),
+        )
+        .orderBy("id1")
+    )
+
+
 def _q_embed_topk(spark, sf_dir):
     """Brute-force cosine top-k vs vec_id=0 (ANN baseline)."""
     from powerbi_ontology_extractor_spark.operators.dedup import (
@@ -591,6 +612,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_docs_quality": _q_docs_quality,
         "q_docs_stopword_ratio": _q_docs_stopword_ratio,
         "q_docs_lang_distribution": _q_docs_lang_distribution,
+        "q_docs_ngram_jaccard_adjacent": _q_docs_ngram_jaccard_adjacent,
         "q_embed_topk": _q_embed_topk,
         "q_embed_label_centroid_norm": _q_embed_label_centroid_norm,
     }
@@ -778,6 +800,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
                    CAST(AVG(n_chars) AS DOUBLE) AS avg_chars
             FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "q_docs_ngram_jaccard_adjacent": """
+            WITH g AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                         range(1, greatest(len(toks) - 2, 0) + 1),
+                         i -> array_to_string(toks[i:i+2], ' ')
+                     )) AS grams
+              FROM (SELECT doc_id,
+                           CASE WHEN trim(lower(text)) = '' THEN []
+                                ELSE string_split_regex(trim(lower(text)), '\\s+')
+                           END AS toks
+                    FROM documents)
+            )
+            SELECT a.doc_id AS id1, b.doc_id AS id2,
+                   CASE WHEN len(list_distinct(list_concat(a.grams, b.grams))) = 0
+                        THEN 1.0
+                        ELSE ROUND(
+                            CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                            / len(list_distinct(list_concat(a.grams, b.grams))), 6)
+                   END AS jaccard
+            FROM g a JOIN g b ON b.doc_id = a.doc_id + 1
+            ORDER BY id1
         """,
         "q_embed_topk": """
             WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
