@@ -270,7 +270,7 @@ def connected_components(
 def entity_canonical_mapping(
     entities: DataFrame,
     properties: DataFrame,
-    name_bands: int = 16,
+    name_bands: int = 32,
     num_hashes: int = 64,
     min_prop_jaccard: float = 0.5,
 ) -> DataFrame:
@@ -280,6 +280,17 @@ def entity_canonical_mapping(
     acceptance: the reference's name heuristic AND property-set Jaccard
     ≥ ``min_prop_jaccard``.  Returns
     (repo, dataset, entity, entity_iri, canonical_iri).
+
+    Band geometry: blocking recall must dominate the *acceptance*
+    threshold, or near-threshold true pairs are dropped before scoring.
+    With b bands of r rows the collision curve is 1-(1-s^r)^b; the
+    default 32×2 puts the 50%-collision point at s≈0.17, so pairs whose
+    shingle similarity is near the 0.5 acceptance bar collide with
+    probability >0.999 (16×4 put the knee AT 0.5 and deterministically
+    missed same-name entities differing by one property — verified by
+    the exact brute-force oracle in the driver correctness gate).
+    The extra bands only widen candidate generation; acceptance
+    filtering is unchanged.
     """
     props = properties.groupBy("repo", "dataset", "entity").agg(
         F.array_sort(F.collect_set("property")).alias("props")

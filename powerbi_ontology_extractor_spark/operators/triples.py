@@ -466,6 +466,121 @@ def rls_triples(security_rules: DataFrame, models: DataFrame) -> DataFrame:
     return dax_prop.unionByName(per_rule)
 
 
+def _decimal_literal(c: Column) -> Column:
+    """Render a double the way rdflib renders ``Literal(v, XSD.decimal)``
+    for the values the reference passes (ints stay ints: 0 → "0",
+    0.5 → "0.5")."""
+    return F.when(
+        c == F.floor(c), c.cast("long").cast("string")
+    ).otherwise(c.cast("string"))
+
+
+def property_constraint_triples(property_constraints: DataFrame) -> DataFrame:
+    """owl.py:264-299 (T7) — property-level constraints as annotations:
+    range → ont:minValue/ont:maxValue (xsd:decimal), regex →
+    ont:pattern, enum → one ont:enumValue_<i> per value (posexplode),
+    reference → ont:references, plus ont:constraintMessage when a
+    message is present.
+
+    Input frame: see constraints_io.PROPERTY_CONSTRAINT_COLS.
+    """
+    pcs = property_constraints.withColumn(
+        "_prop",
+        _uri("ont:", safe_name(F.col("entity")), "_", safe_name(F.col("property"))),
+    )
+    prop = F.col("_prop")
+    is_type = lambda t: F.col("constraint_type") == t
+    base = _rows(
+        pcs,
+        [
+            (
+                prop,
+                "ont:minValue",
+                F.when(is_type("range"), _decimal_literal(F.col("min_value"))),
+                True,
+                "xsd:decimal",
+            ),
+            (
+                prop,
+                "ont:maxValue",
+                F.when(is_type("range"), _decimal_literal(F.col("max_value"))),
+                True,
+                "xsd:decimal",
+            ),
+            (prop, "ont:pattern", F.when(is_type("regex"), _lit(F.col("pattern"))), True, ""),
+            (
+                prop,
+                "ont:references",
+                F.when(is_type("reference"), _lit(F.col("reference"))),
+                True,
+                "",
+            ),
+            (prop, "ont:constraintMessage", _lit(F.col("message")), True, ""),
+        ],
+    )
+    # enum: the predicate itself is indexed (owl.py:292) — needs a
+    # dynamic pred column, so it cannot go through the static-spec _rows
+    enum = (
+        pcs.where(is_type("enum") & F.col("enum_values").isNotNull())
+        .select(
+            "repo",
+            "dataset",
+            prop.alias("subj"),
+            F.posexplode("enum_values").alias("i", "val"),
+        )
+        .select(
+            "repo",
+            "dataset",
+            "subj",
+            F.concat(F.lit("ont:enumValue_"), F.col("i").cast("string")).alias(
+                "pred"
+            ),
+            F.col("val").alias("obj"),
+            F.lit(True).alias("obj_is_literal"),
+            F.lit("").alias("obj_datatype"),
+        )
+    )
+    return base.unionByName(enum)
+
+
+def entity_constraint_triples(entity_constraints: DataFrame) -> DataFrame:
+    """owl.py:301-309 (T8) — entity-level constraints as
+    ont:EntityConstraint bnodes (deterministic bnode IRIs, same scheme
+    as the required-property restriction bnodes).
+
+    Input frame: (repo, dataset, entity, constraint_type, value,
+    message).
+    """
+    ecs = entity_constraints.withColumn(
+        "_ent", _uri("ont:", safe_name(F.col("entity")))
+    ).withColumn(
+        "_bnode",
+        F.concat(
+            F.lit("_:ec_"),
+            F.sha1(
+                F.concat_ws(
+                    "|",
+                    F.col("dataset"),
+                    F.col("entity"),
+                    F.col("constraint_type"),
+                    F.col("value"),
+                )
+            ),
+        ),
+    )
+    b = F.col("_bnode")
+    return _rows(
+        ecs,
+        [
+            (b, "rdf:type", F.lit("ont:EntityConstraint"), False, ""),
+            (b, "ont:constraintType", _lit(F.col("constraint_type")), True, ""),
+            (b, "ont:constraintValue", _lit(F.col("value")), True, ""),
+            (b, "rdfs:comment", _lit(F.col("message")), True, ""),
+            (F.col("_ent"), "ont:hasConstraint", b, False, ""),
+        ],
+    )
+
+
 def lineage_triples(parsed_measures: DataFrame) -> DataFrame:
     """measure→depends_on→column lineage (north-star surface beyond the
     reference's OWL export; dependency grammar = dax_parser.py:262-287).

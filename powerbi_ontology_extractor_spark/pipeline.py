@@ -17,13 +17,34 @@ from powerbi_ontology_extractor_spark.functions.layout import report_triples
 from powerbi_ontology_extractor_spark.functions.mquery import m_datasource_triples
 from powerbi_ontology_extractor_spark.operators.extract import extract_all
 from powerbi_ontology_extractor_spark.operators.ontology import generate_ontology
+from powerbi_ontology_extractor_spark.operators.constraints_io import (
+    enhancement_property_constraints,
+    sidecar_entity_constraints,
+    sidecar_property_constraints,
+)
 from powerbi_ontology_extractor_spark.operators.triples import (
     DEFAULT_GENERATED_AT,
     DEFAULT_ROLES,
     TRIPLE_COLS,
+    entity_constraint_triples,
     export_summary,
     export_triples,
+    property_constraint_triples,
 )
+
+
+def _constraint_triples(corpus: DataFrame, onto_dfs: dict) -> DataFrame:
+    """T7/T8 constraint families (owl.py:264-309): suggested validation
+    constraints (ontology_generator.py:314-366 heuristics, applied as
+    the reference's include_constraints=True export does) plus
+    ontology-JSON sidecar constraints (the mcp_server.py:268-296 load
+    path) including entity-level EntityConstraint bnodes."""
+    pcs = enhancement_property_constraints(
+        onto_dfs["enhancements"]
+    ).unionByName(sidecar_property_constraints(corpus))
+    return property_constraint_triples(pcs).unionByName(
+        entity_constraint_triples(sidecar_entity_constraints(corpus))
+    )
 
 
 def build_triples(
@@ -39,12 +60,12 @@ def build_triples(
     model_dfs = extract_all(corpus, materialize=True)
     onto_dfs = generate_ontology(model_dfs, materialize=True)
     triples = export_triples(onto_dfs, model_dfs, roles, generated_at)
+    triples = triples.unionByName(_constraint_triples(corpus, onto_dfs))
     if include_latent_surfaces:
         triples = triples.unionByName(
             m_datasource_triples(corpus, model_dfs["datasets"])
         ).unionByName(report_triples(corpus, model_dfs["datasets"]))
-        triples = triples.dropDuplicates(TRIPLE_COLS)
-    return triples
+    return triples.dropDuplicates(TRIPLE_COLS)
 
 
 def build_triples_canonicalized(
@@ -68,9 +89,11 @@ def build_triples_canonicalized(
     model_dfs = extract_all(corpus, materialize=True)
     onto_dfs = generate_ontology(model_dfs, materialize=True)
     triples = export_triples(onto_dfs, model_dfs, roles, generated_at)
-    triples = triples.unionByName(
-        m_datasource_triples(corpus, model_dfs["datasets"])
-    ).unionByName(report_triples(corpus, model_dfs["datasets"]))
+    triples = (
+        triples.unionByName(_constraint_triples(corpus, onto_dfs))
+        .unionByName(m_datasource_triples(corpus, model_dfs["datasets"]))
+        .unionByName(report_triples(corpus, model_dfs["datasets"]))
+    )
     triples = triples.dropDuplicates(TRIPLE_COLS)
     mapping = entity_canonical_mapping(
         onto_dfs["ontology_entities"],

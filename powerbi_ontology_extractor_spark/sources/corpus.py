@@ -325,6 +325,57 @@ def _report_json(repo_idx: int) -> str:
     return json.dumps(layout, sort_keys=True)
 
 
+def _ontology_sidecar_json(repo_idx: int) -> str:
+    """Ontology-JSON constraint sidecar (the engine's closed-schema form
+    of the reference's mcp_server.py:268-296 constraint load path):
+    governance constraints maintained alongside the model, exercising
+    the enum/reference/message property constraints and entity-level
+    constraints the name heuristics never suggest."""
+    doc = {
+        "dataset": f"Dashboard {repo_idx}",
+        "entities": [
+            {
+                "name": "Customer",
+                "properties": [
+                    {
+                        "name": "Segment",
+                        "constraints": [
+                            {
+                                "type": "enum",
+                                "values": ["Consumer", "Enterprise", "SMB"],
+                                "message": "Segment must be a known tier",
+                            }
+                        ],
+                    }
+                ],
+            },
+            {
+                "name": "Orders",
+                "properties": [
+                    {
+                        "name": "CustomerID",
+                        "constraints": [
+                            {
+                                "type": "reference",
+                                "target": "Customer",
+                                "message": "Orders.CustomerID must reference Customer",
+                            }
+                        ],
+                    }
+                ],
+                "constraints": [
+                    {
+                        "type": "row_count",
+                        "value": "row_count > 0",
+                        "message": "Orders must not be empty",
+                    }
+                ],
+            },
+        ],
+    }
+    return json.dumps(doc, sort_keys=True)
+
+
 def synth_corpus_rows(
     n_repos: int = 8,
     seed: int = 42,
@@ -355,6 +406,11 @@ def synth_corpus_rows(
         for j in range(2):
             add(f"Dashboard{i}.pbix/PowerQuery/query{j}.m", "m", _m_script(i, j))
         add(f"Dashboard{i}.pbix/Report/Layout", "report_json", _report_json(i))
+        add(
+            f"Dashboard{i}.pbix/Ontology/constraints.json",
+            "ontology_json",
+            _ontology_sidecar_json(i),
+        )
     return rows
 
 
@@ -374,6 +430,38 @@ def corpus_df(
     if num_partitions:
         df = df.repartition(num_partitions, "repo", "path")
     return df
+
+
+def write_corpus_parquet(
+    path: str,
+    n_repos: int = 8,
+    seed: int = 42,
+    mega_repo_idx: int = 2,
+    mega_factor: int = 50,
+    base_extra_measures: int = 2,
+) -> str:
+    """Materialize the synthetic corpus as ONE parquet file without
+    Spark (pyarrow) so the driver's DuckDB oracle and the Spark engine
+    read byte-identical input — the fixture behind the kg_* correctness
+    gate.  Idempotent: returns ``path`` without rewriting if present.
+    """
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if os.path.exists(path):
+        return path
+    rows = synth_corpus_rows(
+        n_repos, seed, mega_repo_idx, mega_factor, base_extra_measures
+    )
+    names = [f.name for f in CORPUS_SCHEMA.fields]
+    table = pa.table(
+        {name: [r[i] for r in rows] for i, name in enumerate(names)}
+    )
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    pq.write_table(table, path)
+    return path
 
 
 def read_corpus(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:
