@@ -4,11 +4,13 @@
 ``queries()``        — named (spark, sf_dir) → DataFrame callables, one
                        per operator family from SURVEY.md §2 plus the
                        training-data ops.
-``oracle_sql()``     — DuckDB-equivalent ANSI SQL per query key (omitted
-                       for the KG-pipeline queries, whose input is the
-                       deterministic synthetic corpus rather than the
-                       parquet tables — driver records rows-only checks
-                       for those).
+``oracle_sql()``     — DuckDB-equivalent ANSI SQL per query key.  The
+                       KG-pipeline queries read a parquet corpus fixture
+                       (written once, pyarrow) and their oracles
+                       re-implement the triple-emission grammar with
+                       DuckDB JSON/regexp functions (see kg_oracles.py),
+                       so every query — flagship pipeline included — is
+                       a genuine two-engine agreement.
 
 Determinism rules used throughout so Spark and DuckDB hash-match:
 - money/double aggregations go through exact DECIMAL(18,4) sums, cast
@@ -37,16 +39,32 @@ def _dsum(col):
 
 
 # --------------------------------------------------------------------------
-# KG pipeline queries (synthetic corpus; no SQL oracle — rows-only check)
+# KG pipeline queries.  Input: the deterministic synthetic corpus,
+# materialized ONCE as a parquet fixture (pyarrow, no Spark) so the
+# DuckDB oracles recompute every projection from byte-identical input —
+# the kg_* checks are genuine two-engine agreements on the emission
+# grammar, not Spark-vs-itself.
 # --------------------------------------------------------------------------
 
+import os as _os
+
 _KG_REPOS = 6
+_FIXTURE_DIR = _os.path.join(
+    _os.path.dirname(_os.path.abspath(__file__)), "fixtures"
+)
+_CORPUS_PARQUET = _os.path.join(_FIXTURE_DIR, f"kg_corpus_{_KG_REPOS}.parquet")
+
+
+def _corpus_fixture_path() -> str:
+    from powerbi_ontology_extractor_spark.sources.corpus import (
+        write_corpus_parquet,
+    )
+
+    return write_corpus_parquet(_CORPUS_PARQUET, n_repos=_KG_REPOS)
 
 
 def _corpus(spark: SparkSession) -> DataFrame:
-    from powerbi_ontology_extractor_spark.sources.corpus import corpus_df
-
-    return corpus_df(spark, n_repos=_KG_REPOS)
+    return spark.read.parquet(_corpus_fixture_path())
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -619,7 +637,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    import kg_oracles
+
+    path = _corpus_fixture_path()
     return {
+        # KG pipeline: DuckDB recomputes each projection from the same
+        # corpus parquet (JSON/regexp re-implementation of the emission
+        # grammar — see kg_oracles.py)
+        "kg_triples_by_pred": kg_oracles.triples_by_pred_sql(path),
+        "kg_lineage_edges": kg_oracles.lineage_edges_sql(path),
+        "kg_measure_conflicts": kg_oracles.measure_conflicts_sql(path),
+        "kg_duplicate_logic": kg_oracles.duplicate_logic_sql(path),
+        "kg_canonical_clusters": kg_oracles.canonical_clusters_sql(path),
+        "kg_schema_drift": kg_oracles.schema_drift_sql(path),
         "q_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,

@@ -1,0 +1,900 @@
+"""DuckDB oracle SQL for the KG-pipeline driver queries.
+
+Each function returns ONE DuckDB SELECT that *independently* recomputes
+a kg_* query's result from the corpus parquet fixture (written by
+``sources.corpus.write_corpus_parquet`` — byte-identical input for both
+engines).  The SQL re-implements the reference emission grammar
+(/root/reference/powerbi_ontology/export/owl.py and the DAX-rule regex
+subset, dax_parser.py:112-317) with DuckDB JSON/regexp/list functions —
+no Spark result is consumed, so a hash match is a genuine two-engine
+agreement on the grammar.
+
+Known intentional simplifications (all count-neutral on any corpus this
+fixture generates; noted inline too):
+- bnode IRIs use an injective concat key instead of sha1 (DuckDB 1.0 has
+  no sha1); bnodes only need set-distinctness, never value equality.
+- names in this corpus are never NULL/empty, so ``safe_name``'s
+  'unnamed' fallback is elided.
+- the THRESHOLD rule's "field not mentioned by any earlier rule" guard
+  checks core-rule conditions but not earlier *threshold* conditions
+  (order-dependent in the reference); model expressions in the fixture
+  produce zero threshold matches either way (the ``]`` before the
+  operator blocks the regex — a reference quirk preserved by the
+  engine).
+"""
+
+from __future__ import annotations
+
+_MODEL_STRUCT = (
+    '{"name":"VARCHAR",'
+    '"tables":[{"name":"VARCHAR","description":"VARCHAR",'
+    '"columns":[{"name":"VARCHAR","dataType":"VARCHAR","isKey":"BOOLEAN",'
+    '"isUnique":"BOOLEAN","isNullable":"BOOLEAN","description":"VARCHAR"}],'
+    '"measures":[{"name":"VARCHAR","expression":"VARCHAR",'
+    '"displayFolder":"VARCHAR","description":"VARCHAR"}]}],'
+    '"relationships":[{"name":"VARCHAR","fromTable":"VARCHAR",'
+    '"fromColumn":"VARCHAR","toTable":"VARCHAR","toColumn":"VARCHAR",'
+    '"fromCardinality":"VARCHAR","toCardinality":"VARCHAR",'
+    '"crossFilteringBehavior":"VARCHAR","isActive":"BOOLEAN"}],'
+    '"roles":[{"name":"VARCHAR","tablePermissions":[{"name":"VARCHAR",'
+    '"filterExpression":"VARCHAR"}]}]}'
+)
+
+_SIDECAR_STRUCT = (
+    '{"dataset":"VARCHAR","entities":[{"name":"VARCHAR",'
+    '"properties":[{"name":"VARCHAR","constraints":[{"type":"VARCHAR",'
+    '"pattern":"VARCHAR","min":"DOUBLE","max":"DOUBLE","values":["VARCHAR"],'
+    '"target":"VARCHAR","value":"VARCHAR","message":"VARCHAR"}]}],'
+    '"constraints":[{"type":"VARCHAR","value":"VARCHAR",'
+    '"message":"VARCHAR"}]}]}'
+)
+
+
+def _safe(expr: str) -> str:
+    """owl.py:494-498 safe_name (names in the fixture are never empty,
+    so the 'unnamed' fallback is elided)."""
+    return f"translate({expr}, ' -.', '___')"
+
+
+def _norm_ws(expr: str) -> str:
+    """dax.py _norm_condition: collapse whitespace runs, strip."""
+    return f"trim(regexp_replace({expr}, '\\s+', ' ', 'g'))"
+
+
+def _sanitize(expr: str) -> str:
+    """owl.py:473-492 sanitize_dax: strip NUL/semicolons, cap 10000."""
+    return f"substr(regexp_replace({expr}, '[\\x00;]', '', 'g'), 1, 10000)"
+
+
+# shared prelude: corpus → parsed model rows + flattened family frames
+def _prelude(corpus_path: str) -> str:
+    datekw = (
+        "(lower(coalesce(c.name,'')) LIKE '%year%' OR "
+        "lower(coalesce(c.name,'')) LIKE '%month%' OR "
+        "lower(coalesce(c.name,'')) LIKE '%day%' OR "
+        "lower(coalesce(c.name,'')) LIKE '%quarter%' OR "
+        "lower(coalesce(c.name,'')) LIKE '%week%')"
+    )
+    return f"""
+corpus AS (SELECT * FROM read_parquet('{corpus_path}')),
+model AS (
+    SELECT repo, path,
+           coalesce(m.name, 'Unknown') AS dataset, m
+    FROM (SELECT repo, path,
+                 json_transform(
+                     coalesce(json_extract(content, '$.model'), content::JSON),
+                     '{_MODEL_STRUCT}') AS m
+          FROM corpus WHERE lang = 'model_json')),
+tbl AS (
+    SELECT repo, dataset, coalesce(m.relationships, []) AS rels,
+           unnest(coalesce(m.tables, [])) AS t
+    FROM model),
+ent AS (
+    SELECT repo, dataset,
+           coalesce(t.name, 'Unknown') AS entity,
+           coalesce(t.description, '') AS descr,
+           coalesce(t.columns, []) AS cols,
+           coalesce(t.measures, []) AS msrs,
+           len(coalesce(t.columns, [])) AS n_props,
+           len(coalesce(t.measures, [])) AS measure_count,
+           len(list_filter(rels, r ->
+               coalesce(r.fromTable,'') = coalesce(t.name,'Unknown') OR
+               coalesce(r.toTable,'') = coalesce(t.name,'Unknown'))) AS degree,
+           len(list_filter(coalesce(t.columns, []), c -> {datekw})) > 0
+               AS has_date_cols
+    FROM tbl),
+ent2 AS (
+    -- pattern precedence fact > dimension > date_table > date > standard
+    -- (ontology_generator.py:258-312,368-406)
+    SELECT *,
+           (lower(entity) LIKE '%date%' OR lower(entity) LIKE '%calendar%'
+            OR lower(entity) LIKE '%time%') AS datey,
+           CASE WHEN measure_count > 0 AND degree <= 3 THEN 'fact'
+                WHEN degree >= 3 AND n_props < 20 THEN 'dimension'
+                WHEN (lower(entity) LIKE '%date%' OR lower(entity) LIKE
+                      '%calendar%' OR lower(entity) LIKE '%time%')
+                     AND has_date_cols THEN 'date_table'
+                WHEN (lower(entity) LIKE '%date%' OR lower(entity) LIKE
+                      '%calendar%' OR lower(entity) LIKE '%time%') THEN 'date'
+                ELSE 'standard' END AS entity_type
+    FROM ent),
+prop AS (
+    -- extractor.py:171-180 property flattening + type map (:333-343)
+    SELECT repo, dataset, entity,
+           coalesce(c.name, '') AS pname,
+           coalesce(c.description, '') AS pdescr,
+           CASE lower(coalesce(c.dataType, 'string'))
+                WHEN 'string' THEN 'String' WHEN 'int64' THEN 'Integer'
+                WHEN 'double' THEN 'Decimal' WHEN 'datetime' THEN 'Date'
+                WHEN 'boolean' THEN 'Boolean' WHEN 'decimal' THEN 'Decimal'
+                ELSE 'String' END AS otype,
+           coalesce(c.isNullable = FALSE, FALSE) AS required,
+           (coalesce(c.isUnique, FALSE) OR coalesce(c.isKey, FALSE)) AS uniq
+    FROM (SELECT repo, dataset, entity, unnest(cols) AS c FROM ent)),
+rel AS (
+    -- cardinality normalize (extractor.py:216-229) + semantic type
+    -- (ontology_generator.py:376-398)
+    SELECT repo, dataset,
+           coalesce(r.fromTable, '') AS from_e,
+           coalesce(r.fromColumn, '') AS from_p,
+           coalesce(r.toTable, '') AS to_e,
+           coalesce(r.toColumn, '') AS to_p,
+           CASE WHEN r.fromCardinality = 'one' AND r.toCardinality = 'many'
+                     THEN 'one-to-many'
+                WHEN r.fromCardinality = 'one' AND r.toCardinality = 'one'
+                     THEN 'one-to-one'
+                WHEN r.fromCardinality = 'many' AND r.toCardinality = 'many'
+                     THEN 'many-to-many'
+                ELSE 'many-to-one' END AS card,
+           coalesce(r.name, coalesce(r.fromTable,'') || '_' ||
+                    coalesce(r.toTable,'')) AS src_rel
+    FROM (SELECT repo, dataset, unnest(coalesce(m.relationships, [])) AS r
+          FROM model)),
+rel2 AS (
+    SELECT *,
+           CASE WHEN lower(from_e) LIKE '%customer%' AND lower(to_e) LIKE
+                     '%order%' THEN 'has'
+                WHEN lower(from_e) LIKE '%order%' AND lower(to_e) LIKE
+                     '%customer%' THEN 'belongs_to'
+                WHEN lower(from_e) LIKE '%product%' AND lower(to_e) LIKE
+                     '%order%' THEN 'contained_in'
+                WHEN lower(from_e) LIKE '%shipment%' AND lower(to_e) LIKE
+                     '%customer%' THEN 'belongs_to'
+                WHEN card = 'one-to-many' THEN 'has'
+                WHEN card = 'many-to-one' THEN 'belongs_to'
+                ELSE 'related_to' END AS rel_type
+    FROM rel),
+msr AS (
+    SELECT repo, dataset, entity AS tbl,
+           coalesce(mm.name, '') AS mname,
+           coalesce(mm.expression, '') AS expr,
+           coalesce(mm.description, '') AS mdescr
+    FROM (SELECT repo, dataset, entity, unnest(msrs) AS mm FROM ent)),
+perm AS (
+    SELECT repo, dataset, role, coalesce(p.name, '') AS ptable,
+           coalesce(p.filterExpression, '') AS pfilter
+    FROM (SELECT repo, dataset, coalesce(ro.name, '') AS role,
+                 unnest(coalesce(ro.tablePermissions, [])) AS p
+          FROM (SELECT repo, dataset, unnest(coalesce(m.roles, [])) AS ro
+                FROM model))
+    WHERE coalesce(p.filterExpression, '') <> ''),
+repo_ds AS (SELECT DISTINCT repo, dataset FROM model)
+"""
+
+
+# DAX rule extraction (dax.py extract_rules / dax_parser.py:112-260):
+# CALCULATE / IF / SWITCH / THRESHOLD over model measures.
+_RULES = r"""
+calc_rules AS (
+    SELECT repo, dataset, tbl, mname, mdescr,
+           mname || '_Filter' AS rule_name,
+           trim(regexp_replace(cond0, '\s+', ' ', 'g')) AS cond,
+           'filter' AS action, '' AS classification,
+           'Filter condition from ' || mname || ': ' ||
+               trim(regexp_replace(cond0, '\s+', ' ', 'g')) AS rdescr
+    FROM (SELECT *, unnest(regexp_extract_all(expr,
+              'CALCULATE\s*\([^,]+,\s*([^)]+)\)', 1, 'i')) AS cond0
+          FROM msr)
+    WHERE trim(regexp_replace(cond0, '\s+', ' ', 'g')) <> ''),
+if_m AS (
+    SELECT *,
+           regexp_extract_all(expr, 'IF\s*\(\s*([^,]+),\s*([^,]+),\s*([^)]+)\)', 1, 'i') AS g1,
+           regexp_extract_all(expr, 'IF\s*\(\s*([^,]+),\s*([^,]+),\s*([^)]+)\)', 2, 'i') AS g2,
+           regexp_extract_all(expr, 'IF\s*\(\s*([^,]+),\s*([^,]+),\s*([^)]+)\)', 3, 'i') AS g3
+    FROM msr),
+if_rules AS (
+    SELECT repo, dataset, tbl, mname, mdescr,
+           mname || '_Condition' AS rule_name,
+           trim(regexp_replace(g1[i], '\s+', ' ', 'g')) AS cond,
+           'classify_as_' || lower(replace(replace(trim(g2[i]), '"', ''),
+               ' ', '_')) AS action,
+           trim(replace(trim(g2[i]), '"', '')) AS classification,
+           'IF condition: ' || trim(regexp_replace(g1[i], '\s+', ' ', 'g')) ||
+               ' then ' || trim(g2[i]) || ' else ' || trim(g3[i]) AS rdescr
+    FROM if_m, unnest(range(1, len(g1) + 1)) AS _(i)
+    WHERE trim(regexp_replace(g1[i], '\s+', ' ', 'g')) <> ''),
+sw_m AS (
+    SELECT *, list_transform(string_split(body, ','), s -> trim(s)) AS parts
+    FROM (SELECT *, unnest(regexp_extract_all(expr,
+              'SWITCH\s*\([^,]+,\s*([^)]+)\)', 1, 'i')) AS body
+          FROM msr)),
+sw_rules AS (
+    SELECT repo, dataset, tbl, mname, mdescr,
+           mname || '_Switch_' || replace(replace(parts[i+1], '"', ''), ' ',
+               '_') AS rule_name,
+           trim(regexp_replace(parts[i], '\s+', ' ', 'g')) AS cond,
+           'classify_as_' || lower(replace(replace(parts[i+1], '"', ''),
+               ' ', '_')) AS action,
+           trim(replace(parts[i+1], '"', '')) AS classification,
+           'SWITCH case: ' || trim(regexp_replace(parts[i], '\s+', ' ', 'g'))
+               || ' -> ' || parts[i+1] AS rdescr
+    FROM sw_m, unnest(range(1, len(parts), 2)) AS _(i)
+    WHERE trim(regexp_replace(parts[i], '\s+', ' ', 'g')) <> ''),
+core_rules AS (
+    SELECT * FROM calc_rules UNION ALL
+    SELECT * FROM if_rules UNION ALL
+    SELECT * FROM sw_rules),
+th_m AS (
+    SELECT *,
+           regexp_extract_all(expr, '(\w+)\s*(>|<|>=|<=|=)\s*(\d+\.?\d*)', 1) AS tf,
+           regexp_extract_all(expr, '(\w+)\s*(>|<|>=|<=|=)\s*(\d+\.?\d*)', 2) AS toper,
+           regexp_extract_all(expr, '(\w+)\s*(>|<|>=|<=|=)\s*(\d+\.?\d*)', 3) AS tv
+    FROM msr),
+th_rules AS (
+    -- guard: field already mentioned by a core rule of the same measure
+    SELECT t.repo, t.dataset, t.tbl, t.mname, t.mdescr,
+           t.mname || '_Threshold' AS rule_name,
+           t.tf[i] || ' ' || t.toper[i] || ' ' || t.tv[i] AS cond,
+           'threshold_check' AS action, '' AS classification,
+           'Threshold condition: ' || t.tf[i] || ' ' || t.toper[i] || ' ' ||
+               t.tv[i] AS rdescr
+    FROM th_m t, unnest(range(1, len(t.tf) + 1)) AS _(i)
+    WHERE NOT EXISTS (
+        SELECT 1 FROM core_rules r
+        WHERE r.repo = t.repo AND r.dataset = t.dataset
+          AND r.mname = t.mname AND contains(r.cond, t.tf[i]))),
+rules AS (
+    SELECT *,
+           regexp_extract(cond, '(\w+)\[', 1) AS rentity
+    FROM (SELECT * FROM core_rules UNION ALL SELECT * FROM th_rules))
+"""
+
+
+# lineage deps (dax.py identify_dependencies — dax_parser.py:262-287):
+# over ALL measures incl. standalone lang='dax' rows.
+_ALL_MEASURES = r"""
+dax_sa AS (
+    SELECT repo, 'Standalone' AS dataset,
+           coalesce(json_extract_string(content, '$.table'), '') AS tbl,
+           coalesce(json_extract_string(content, '$.name'), '') AS mname,
+           coalesce(json_extract_string(content, '$.expression'), '') AS expr
+    FROM corpus WHERE lang = 'dax'),
+all_msr AS (
+    SELECT repo, dataset, tbl, mname, expr FROM msr
+    UNION ALL
+    SELECT repo, dataset, tbl, mname, expr FROM dax_sa),
+dep_lists AS (
+    SELECT repo, dataset, tbl, mname, expr,
+           list_sort(list_distinct(list_concat(
+               list_transform(range(1, len(ts) + 1),
+                              i -> ts[i] || '.' || cs[i]),
+               list_transform(
+                   list_filter(
+                       regexp_extract_all(expr, '\b([A-Z][a-zA-Z0-9_]*)\[', 1),
+                       t -> upper(t) NOT IN
+                            ('IF','CALCULATE','SUM','COUNT','AVG','MAX','MIN')),
+                   t -> t || '.*')))) AS deps
+    FROM (SELECT *,
+                 regexp_extract_all(expr, '(\w+)\[(\w+)\]', 1) AS ts,
+                 regexp_extract_all(expr, '(\w+)\[(\w+)\]', 2) AS cs
+          FROM all_msr))
+"""
+
+
+def _measure_type(u: str, raw: str) -> str:
+    """dax_parser.py:289-317 precedence chain (substring semantics)."""
+    return f"""CASE
+        WHEN {u} LIKE '%DATEADD%' OR {u} LIKE '%TOTALYTD%' OR {u} LIKE
+             '%TOTALQTD%' OR {u} LIKE '%TOTALMTD%' OR {u} LIKE
+             '%SAMEPERIODLASTYEAR%' THEN 'TIME_INTELLIGENCE'
+        WHEN {u} LIKE '%IF%' OR {u} LIKE '%SWITCH%' THEN 'CONDITIONAL'
+        WHEN {u} LIKE '%CALCULATE%' AND ({u} LIKE '%FILTER%' OR
+             contains({raw}, '>') OR contains({raw}, '<')) THEN 'FILTER'
+        WHEN {u} LIKE '%SUM%' OR {u} LIKE '%COUNT%' OR {u} LIKE '%AVG%' OR
+             {u} LIKE '%AVERAGE%' OR {u} LIKE '%MAX%' OR {u} LIKE '%MIN%' OR
+             {u} LIKE '%DISTINCTCOUNT%' THEN 'AGGREGATION'
+        ELSE 'CALCULATION' END"""
+
+
+# the 44-triple static OntoGuard catalog (owl.py:129-181) with the 3
+# default roles — constants of the emission grammar
+def _base_values() -> str:
+    rows: list[tuple[str, str, str]] = [
+        ("ont:User", "rdf:type", "owl:Class"),
+        ("ont:User", "rdfs:label", "User"),
+        ("ont:User", "rdfs:comment", "Base class for user roles"),
+        ("ont:Action", "rdf:type", "owl:Class"),
+        ("ont:Action", "rdfs:label", "Action"),
+        ("ont:Action", "rdfs:comment", "Base class for actions"),
+    ]
+    for a in ["ReadAction", "WriteAction", "DeleteAction", "ExecuteAction"]:
+        rows += [
+            (f"ont:{a}", "rdf:type", "owl:Class"),
+            (f"ont:{a}", "rdfs:subClassOf", "ont:Action"),
+            (f"ont:{a}", "rdfs:label", a),
+        ]
+    rows += [
+        ("ont:requiresRole", "rdf:type", "owl:ObjectProperty"),
+        ("ont:requiresRole", "rdfs:label", "requiresRole"),
+        ("ont:requiresRole", "rdfs:comment",
+         "Role required to perform this action"),
+        ("ont:requiresRole", "rdfs:domain", "ont:Action"),
+        ("ont:requiresRole", "rdfs:range", "ont:User"),
+        ("ont:appliesTo", "rdf:type", "owl:ObjectProperty"),
+        ("ont:appliesTo", "rdfs:label", "appliesTo"),
+        ("ont:appliesTo", "rdfs:comment", "Entity this action applies to"),
+        ("ont:appliesTo", "rdfs:domain", "ont:Action"),
+        ("ont:allowsAction", "rdf:type", "owl:DatatypeProperty"),
+        ("ont:allowsAction", "rdfs:label", "allowsAction"),
+        ("ont:allowsAction", "rdfs:comment", "Action type allowed"),
+        ("ont:allowsAction", "rdfs:range", "xsd:string"),
+        ("ont:appliesToProperty", "rdf:type", "owl:DatatypeProperty"),
+        ("ont:appliesToProperty", "rdfs:label", "appliesToProperty"),
+        ("ont:appliesToProperty", "rdfs:comment",
+         "Property this action applies to"),
+        ("ont:appliesToProperty", "rdfs:range", "xsd:string"),
+    ]
+    for role in ["Admin", "Analyst", "Viewer"]:
+        rows += [
+            (f"ont:{role}", "rdf:type", "owl:Class"),
+            (f"ont:{role}", "rdfs:subClassOf", "ont:User"),
+            (f"ont:{role}", "rdfs:label", role),
+        ]
+    return ",\n        ".join(
+        "('{}', '{}', '{}')".format(*r) for r in rows
+    )
+
+
+_XSD = (
+    "CASE otype WHEN 'String' THEN 'xsd:string' WHEN 'Integer' THEN "
+    "'xsd:integer' WHEN 'Decimal' THEN 'xsd:decimal' WHEN 'Date' THEN "
+    "'xsd:date' WHEN 'DateTime' THEN 'xsd:dateTime' WHEN 'Boolean' THEN "
+    "'xsd:boolean' ELSE 'xsd:string' END"
+)
+
+
+def _triple_families(generated_at: str) -> str:
+    """All triple families as (repo, dataset, subj, pred, obj) CTEs."""
+    e_uri = "'ont:' || " + _safe("entity")
+    p_uri = "'ont:' || " + _safe("entity") + " || '_' || " + _safe("pname")
+    return f"""
+t_meta AS (  -- owl.py:114-127
+    SELECT repo, dataset, u.s AS subj, u.p AS pred, u.o AS obj
+    FROM model, UNNEST([
+        {{'s': 'ont:' || {_safe('dataset')} || '_Ontology', 'p': 'rdf:type',
+          'o': 'owl:Ontology'}},
+        {{'s': 'ont:' || {_safe('dataset')} || '_Ontology', 'p': 'rdfs:label',
+          'o': dataset || '_Ontology'}},
+        {{'s': 'ont:' || {_safe('dataset')} || '_Ontology',
+          'p': 'rdfs:comment', 'o': 'Ontology from Power BI: ' || path}},
+        {{'s': 'ont:' || {_safe('dataset')} || '_Ontology',
+          'p': 'owl:versionInfo', 'o': '1.0.0'}},
+        {{'s': 'ont:' || {_safe('dataset')} || '_Ontology',
+          'p': 'ont:meta_generation_date', 'o': '{generated_at}'}},
+        {{'s': 'ont:' || {_safe('dataset')} || '_Ontology',
+          'p': 'ont:meta_source_model', 'o': dataset}}]) AS _(u)),
+t_base AS (  -- owl.py:129-181
+    SELECT d.repo, d.dataset, b.subj, b.pred, b.obj
+    FROM repo_ds d CROSS JOIN (VALUES
+        {_base_values()}) AS b(subj, pred, obj)),
+t_ent AS (  -- owl.py:183-199
+    SELECT repo, dataset, u.s AS subj, u.p AS pred, u.o AS obj
+    FROM ent2, UNNEST([
+        {{'s': {e_uri}, 'p': 'rdf:type', 'o': 'owl:Class'}},
+        {{'s': {e_uri}, 'p': 'rdfs:label', 'o': entity}},
+        {{'s': {e_uri}, 'p': 'rdfs:comment', 'o': (CASE WHEN descr <> '' THEN descr END)}},
+        {{'s': {e_uri}, 'p': 'ont:entityType', 'o': entity_type}},
+        {{'s': {e_uri}, 'p': 'ont:sourceTable', 'o': entity}}]) AS _(u)
+    WHERE u.o IS NOT NULL),
+t_prop AS (  -- owl.py:210-242
+    SELECT repo, dataset, u.s AS subj, u.p AS pred, u.o AS obj
+    FROM prop, UNNEST([
+        {{'s': {p_uri}, 'p': 'rdf:type', 'o': 'owl:DatatypeProperty'}},
+        {{'s': {p_uri}, 'p': 'rdfs:label', 'o': pname}},
+        {{'s': {p_uri}, 'p': 'rdfs:domain', 'o': {e_uri}}},
+        {{'s': {p_uri}, 'p': 'rdfs:range', 'o': {_XSD}}},
+        {{'s': {p_uri}, 'p': 'rdfs:comment', 'o': (CASE WHEN pdescr <> '' THEN pdescr END)}},
+        {{'s': {p_uri}, 'p': 'ont:sourceColumn', 'o': (CASE WHEN pname <> '' THEN pname END)}},
+        {{'s': {p_uri}, 'p': 'rdf:type',
+          'o': CASE WHEN uniq THEN 'owl:FunctionalProperty' END}}]) AS _(u)
+    WHERE u.o IS NOT NULL),
+t_req AS (  -- owl.py:244-262 minCardinality restriction (injective bnode key)
+    SELECT repo, dataset, u.s AS subj, u.p AS pred, u.o AS obj
+    FROM (SELECT *, '_:r#' || dataset || '|' || entity || '|' || pname AS bn
+          FROM prop WHERE required), UNNEST([
+        {{'s': bn, 'p': 'rdf:type', 'o': 'owl:Restriction'}},
+        {{'s': bn, 'p': 'owl:onProperty', 'o': {p_uri}}},
+        {{'s': bn, 'p': 'owl:minCardinality', 'o': '1'}},
+        {{'s': {e_uri}, 'p': 'rdfs:subClassOf', 'o': bn}}]) AS _(u)),
+t_rel AS (  -- owl.py:311-338
+    SELECT repo, dataset, u.s AS subj, u.p AS pred, u.o AS obj
+    FROM (SELECT *, 'ont:' || {_safe("from_e || '_' || rel_type || '_' || to_e")}
+                 AS rel_uri FROM rel2), UNNEST([
+        {{'s': rel_uri, 'p': 'rdf:type', 'o': 'owl:ObjectProperty'}},
+        {{'s': rel_uri, 'p': 'rdfs:label', 'o': rel_type}},
+        {{'s': rel_uri, 'p': 'rdfs:domain', 'o': 'ont:' || {_safe('from_e')}}},
+        {{'s': rel_uri, 'p': 'rdfs:range', 'o': 'ont:' || {_safe('to_e')}}},
+        {{'s': rel_uri, 'p': 'rdfs:comment',
+          'o': 'Relationship from ' || from_e || ' to ' || to_e}},
+        {{'s': rel_uri, 'p': 'ont:sourceRelationship', 'o': (CASE WHEN src_rel <> '' THEN src_rel END)}},
+        {{'s': rel_uri, 'p': 'ont:cardinality', 'o': card}},
+        {{'s': rel_uri, 'p': 'ont:fromProperty', 'o': (CASE WHEN from_p <> '' THEN from_p END)}},
+        {{'s': rel_uri, 'p': 'ont:toProperty', 'o': (CASE WHEN to_p <> '' THEN to_p END)}}]) AS _(u)
+    WHERE u.o IS NOT NULL),
+t_rule AS (  -- owl.py:340-384
+    SELECT repo, dataset, u.s AS subj, u.p AS pred, u.o AS obj
+    FROM (SELECT *, 'ont:' || {_safe('rule_name')} || 'Rule' AS cls,
+                 'ont:' || {_safe('rule_name')} || 'RuleInstance' AS inst
+          FROM rules), UNNEST([
+        {{'s': cls, 'p': 'rdf:type', 'o': 'owl:Class'}},
+        {{'s': cls, 'p': 'rdfs:subClassOf', 'o': 'ont:Action'}},
+        {{'s': cls, 'p': 'rdfs:label', 'o': rule_name}},
+        {{'s': cls, 'p': 'rdfs:comment',
+          'o': (CASE WHEN coalesce(nullif(rdescr, ''), mdescr) <> '' THEN coalesce(nullif(rdescr, ''), mdescr) END)}},
+        {{'s': inst, 'p': 'rdf:type', 'o': cls}},
+        {{'s': inst, 'p': 'ont:appliesTo',
+          'o': CASE WHEN coalesce((CASE WHEN rentity <> '' THEN rentity END), tbl) <> ''
+                    THEN 'ont:' || {_safe("coalesce((CASE WHEN rentity <> '' THEN rentity END), tbl)")}
+               END}},
+        {{'s': inst, 'p': 'ont:condition', 'o': (CASE WHEN {_sanitize('cond')} <> '' THEN {_sanitize('cond')} END)}},
+        {{'s': inst, 'p': 'ont:ruleAction', 'o': (CASE WHEN action <> '' THEN action END)}},
+        {{'s': inst, 'p': 'ont:classification', 'o': (CASE WHEN classification <> '' THEN classification END)}},
+        {{'s': inst, 'p': 'ont:priority', 'o': '1'}},
+        {{'s': inst, 'p': 'ont:sourceMeasure', 'o': (CASE WHEN mname <> '' THEN mname END)}}]) AS _(u)
+    WHERE u.o IS NOT NULL),
+t_crud AS (  -- owl.py:386-409
+    SELECT repo, dataset, u.s AS subj, u.p AS pred, u.o AS obj
+    FROM (SELECT e.*, c.action, c.action_class, c.role,
+                 'ont:' || c.action || '_' || {_safe('e.entity')} || '_' ||
+                     c.role AS crud_uri
+          FROM ent2 e CROSS JOIN (VALUES
+              ('read', 'ont:ReadAction', 'Admin'),
+              ('read', 'ont:ReadAction', 'Analyst'),
+              ('read', 'ont:ReadAction', 'Viewer'),
+              ('create', 'ont:WriteAction', 'Admin'),
+              ('create', 'ont:WriteAction', 'Analyst'),
+              ('create', 'ont:WriteAction', 'Viewer'),
+              ('update', 'ont:WriteAction', 'Admin'),
+              ('update', 'ont:WriteAction', 'Analyst'),
+              ('update', 'ont:WriteAction', 'Viewer'),
+              ('delete', 'ont:DeleteAction', 'Admin'),
+              ('delete', 'ont:DeleteAction', 'Analyst'),
+              ('delete', 'ont:DeleteAction', 'Viewer'))
+              AS c(action, action_class, role)), UNNEST([
+        {{'s': crud_uri, 'p': 'rdf:type', 'o': action_class}},
+        {{'s': crud_uri, 'p': 'ont:appliesTo', 'o': {e_uri}}},
+        {{'s': crud_uri, 'p': 'ont:requiresRole', 'o': 'ont:' || role}},
+        {{'s': crud_uri, 'p': 'ont:allowsAction', 'o': action}}]) AS _(u)),
+t_rls_prop AS (  -- owl.py:411-425 one daxFilter property per dataset
+    SELECT repo, dataset, u.s AS subj, u.p AS pred, u.o AS obj
+    FROM repo_ds, UNNEST([
+        {{'s': 'ont:daxFilter', 'p': 'rdf:type', 'o': 'owl:DatatypeProperty'}},
+        {{'s': 'ont:daxFilter', 'p': 'rdfs:label', 'o': 'daxFilter'}},
+        {{'s': 'ont:daxFilter', 'p': 'rdfs:comment',
+          'o': 'DAX filter expression for RLS'}}]) AS _(u)),
+t_rls AS (  -- owl.py:427-455
+    SELECT repo, dataset, u.s AS subj, u.p AS pred, u.o AS obj
+    FROM (SELECT *, 'ont:' || {_safe('role')} AS role_uri,
+                 'ont:RLS_' || {_safe('role')} || '_' || {_safe('ptable')}
+                     AS rls_uri
+          FROM perm), UNNEST([
+        {{'s': role_uri, 'p': 'rdf:type', 'o': 'owl:Class'}},
+        {{'s': role_uri, 'p': 'rdfs:subClassOf', 'o': 'ont:User'}},
+        {{'s': role_uri, 'p': 'rdfs:label', 'o': role}},
+        {{'s': rls_uri, 'p': 'rdf:type', 'o': 'ont:ReadAction'}},
+        {{'s': rls_uri, 'p': 'rdfs:label',
+          'o': 'RLS: ' || role || ' on ' || ptable}},
+        {{'s': rls_uri, 'p': 'ont:appliesTo', 'o': 'ont:' || {_safe('ptable')}}},
+        {{'s': rls_uri, 'p': 'ont:requiresRole', 'o': role_uri}},
+        {{'s': rls_uri, 'p': 'ont:daxFilter',
+          'o': (CASE WHEN {_sanitize('pfilter')} <> '' THEN {_sanitize('pfilter')} END)}},
+        {{'s': rls_uri, 'p': 'rdfs:comment',
+          'o': 'RLS rule for ' || ptable || ' in role ' || role}},
+        {{'s': rls_uri, 'p': 'ont:isRLSRule', 'o': 'true'}}]) AS _(u)
+    WHERE u.o IS NOT NULL),
+t_lin_head AS (  -- lineage heads (north-star surface; dax_parser.py:289-317)
+    SELECT repo, dataset, u.s AS subj, u.p AS pred, u.o AS obj
+    FROM (SELECT *, 'ont:measure_' || {_safe('mname')} AS m_uri,
+                 upper(expr) AS uex FROM all_msr), UNNEST([
+        {{'s': m_uri, 'p': 'rdf:type', 'o': 'ont:Measure'}},
+        {{'s': m_uri, 'p': 'ont:measureType',
+          'o': {_measure_type('uex', 'expr')}}},
+        {{'s': m_uri, 'p': 'ont:inTable', 'o': 'ont:' || {_safe('tbl')}}}])
+        AS _(u)),
+t_lin_dep AS (  -- dependency edges (dax_parser.py:262-287)
+    SELECT repo, dataset,
+           'ont:measure_' || {_safe('mname')} AS subj,
+           'ont:dependsOn' AS pred,
+           CASE WHEN dep LIKE '%.*'
+                THEN 'ont:' || {_safe('substr(dep, 1, len(dep) - 2)')}
+                ELSE 'ont:' || {_safe('dep')} END AS obj
+    FROM (SELECT repo, dataset, mname, unnest(deps) AS dep FROM dep_lists)),
+t_pc AS (  -- T7 property constraints (owl.py:264-299): suggested
+    -- enhancements (ontology_generator.py:314-366) over model properties
+    SELECT repo, dataset, u.s AS subj, u.p AS pred, u.o AS obj
+    FROM (SELECT *, lower(pname) AS pl,
+                 otype IN ('Integer', 'Decimal') AS is_num FROM prop),
+         UNNEST([
+        {{'s': {p_uri}, 'p': 'ont:pattern',
+          'o': CASE WHEN pl LIKE '%email%' AND otype = 'String'
+                    THEN '^[^\\s@]+@[^\\s@]+\\.[^\\s@]+$' END}},
+        {{'s': {p_uri}, 'p': 'ont:pattern',
+          'o': CASE WHEN pl LIKE '%url%' OR pl LIKE '%website%'
+                    THEN '^https?://' END}},
+        {{'s': {p_uri}, 'p': 'ont:minValue',
+          'o': CASE WHEN is_num AND pl LIKE '%age%' THEN '0'
+                    WHEN is_num AND pl NOT LIKE '%age%' AND
+                         (pl LIKE '%score%' OR pl LIKE '%rating%') THEN '0'
+               END}},
+        {{'s': {p_uri}, 'p': 'ont:maxValue',
+          'o': CASE WHEN is_num AND pl LIKE '%age%' THEN '150'
+                    WHEN is_num AND pl NOT LIKE '%age%' AND
+                         (pl LIKE '%score%' OR pl LIKE '%rating%') THEN '100'
+               END}}]) AS _(u)
+    WHERE u.o IS NOT NULL),
+side AS (  -- ontology-JSON sidecars (constraint load path)
+    SELECT repo, coalesce(d.dataset, 'Unknown') AS dataset,
+           unnest(coalesce(d.entities, [])) AS e
+    FROM (SELECT repo, json_transform(content::JSON, '{_SIDECAR_STRUCT}') AS d
+          FROM corpus WHERE lang = 'ontology_json')),
+side_pc AS (
+    SELECT repo, dataset, entity, coalesce(c.type, '') AS ctype,
+           c.pattern AS cpattern, c.min AS cmin, c.max AS cmax,
+           c."values" AS cvals, c.target AS ctarget, c.message AS cmsg,
+           pname
+    FROM (SELECT repo, dataset, coalesce(e.name, 'Unknown') AS entity,
+                 coalesce(p.name, '') AS pname,
+                 unnest(coalesce(p.constraints, [])) AS c
+          FROM (SELECT repo, dataset, e,
+                       unnest(coalesce(e.properties, [])) AS p
+                FROM side))),
+t_side_flat AS (
+    SELECT repo, dataset, u.s AS subj, u.p AS pred, u.o AS obj
+    FROM side_pc, UNNEST([
+        {{'s': {p_uri.replace("pname", "pname")}, 'p': 'ont:minValue',
+          'o': CASE WHEN ctype = 'range' AND cmin IS NOT NULL THEN
+               CASE WHEN cmin = floor(cmin)
+                    THEN CAST(CAST(cmin AS BIGINT) AS VARCHAR)
+                    ELSE CAST(cmin AS VARCHAR) END END}},
+        {{'s': {p_uri}, 'p': 'ont:maxValue',
+          'o': CASE WHEN ctype = 'range' AND cmax IS NOT NULL THEN
+               CASE WHEN cmax = floor(cmax)
+                    THEN CAST(CAST(cmax AS BIGINT) AS VARCHAR)
+                    ELSE CAST(cmax AS VARCHAR) END END}},
+        {{'s': {p_uri}, 'p': 'ont:pattern',
+          'o': CASE WHEN ctype = 'regex' THEN (CASE WHEN cpattern <> '' THEN cpattern END) END}},
+        {{'s': {p_uri}, 'p': 'ont:references',
+          'o': CASE WHEN ctype = 'reference' THEN (CASE WHEN ctarget <> '' THEN ctarget END) END}},
+        {{'s': {p_uri}, 'p': 'ont:constraintMessage',
+          'o': (CASE WHEN cmsg <> '' THEN cmsg END)}}]) AS _(u)
+    WHERE u.o IS NOT NULL),
+t_side_enum AS (  -- owl.py:289-293 indexed enum predicates
+    SELECT repo, dataset, {p_uri} AS subj,
+           'ont:enumValue_' || CAST(i - 1 AS VARCHAR) AS pred,
+           cvals[i] AS obj
+    FROM side_pc, unnest(range(1, len(cvals) + 1)) AS _(i)
+    WHERE ctype = 'enum' AND cvals IS NOT NULL),
+side_ec AS (
+    SELECT repo, dataset, coalesce(e.name, 'Unknown') AS entity,
+           coalesce(c.type, '') AS ctype, coalesce(c.value, '') AS cval,
+           coalesce(c.message, '') AS cmsg,
+           '_:ec#' || dataset || '|' || coalesce(e.name, 'Unknown') || '|' ||
+               coalesce(c.type, '') || '|' || coalesce(c.value, '') AS bn
+    FROM (SELECT repo, dataset, e, unnest(coalesce(e.constraints, [])) AS c
+          FROM side)),
+t_ec AS (  -- T8 entity constraints (owl.py:301-309)
+    SELECT repo, dataset, u.s AS subj, u.p AS pred, u.o AS obj
+    FROM side_ec, UNNEST([
+        {{'s': bn, 'p': 'rdf:type', 'o': 'ont:EntityConstraint'}},
+        {{'s': bn, 'p': 'ont:constraintType', 'o': (CASE WHEN ctype <> '' THEN ctype END)}},
+        {{'s': bn, 'p': 'ont:constraintValue', 'o': (CASE WHEN cval <> '' THEN cval END)}},
+        {{'s': bn, 'p': 'rdfs:comment', 'o': (CASE WHEN cmsg <> '' THEN cmsg END)}},
+        {{'s': 'ont:' || {_safe('entity')}, 'p': 'ont:hasConstraint',
+          'o': bn}}]) AS _(u)
+    WHERE u.o IS NOT NULL),
+mconn AS (  -- M connection grammar (functions/mquery.py:46-74)
+    SELECT c.repo, coalesce(d.dataset, 'Unknown') AS dataset,
+           regexp_extract(content, 'in\s+(\w+)\s*$', 1) AS qname,
+           regexp_extract(content, '=\s*((?:\w+\.)+\w+)\s*\(', 1) AS connector,
+           CASE WHEN regexp_extract(content,
+                    '=\s*(?:\w+\.)+\w+\s*\(\s*"([^"]*)"', 1) <> ''
+                THEN regexp_extract(content,
+                    '=\s*(?:\w+\.)+\w+\s*\(\s*"([^"]*)"', 1)
+                ELSE regexp_extract(content,
+                    '=\s*(?:\w+\.)+\w+\s*\(\s*(?:\w+\.)+\w+\s*\(\s*"([^"]*)"',
+                    1) END AS host,
+           regexp_extract(content,
+               '=\s*(?:\w+\.)+\w+\s*\(\s*"[^"]*"\s*,\s*"([^"]*)"', 1) AS db,
+           regexp_extract(content, 'Schema\s*=\s*"([^"]+)"', 1) AS sch,
+           regexp_extract(content, 'Item\s*=\s*"([^"]+)"', 1) AS item
+    FROM corpus c LEFT JOIN repo_ds d USING (repo)
+    WHERE lang = 'm'),
+t_m AS (
+    SELECT repo, dataset, u.s AS subj, u.p AS pred, u.o AS obj
+    FROM (SELECT *,
+                 'ont:datasource_' || {_safe('host')} || '_' || {_safe('db')}
+                     || '_' || {_safe('sch')} || '_' || {_safe('item')} AS ds_uri,
+                 'ont:mquery_' || {_safe('qname')} AS q_uri
+          FROM mconn WHERE connector <> '' AND host <> ''), UNNEST([
+        {{'s': q_uri, 'p': 'rdf:type', 'o': 'ont:PowerQuery'}},
+        {{'s': q_uri, 'p': 'ont:connectsTo', 'o': ds_uri}},
+        {{'s': ds_uri, 'p': 'rdf:type', 'o': 'ont:DataSource'}},
+        {{'s': ds_uri, 'p': 'ont:connector', 'o': (CASE WHEN connector <> '' THEN connector END)}},
+        {{'s': ds_uri, 'p': 'ont:host', 'o': (CASE WHEN host <> '' THEN host END)}},
+        {{'s': ds_uri, 'p': 'ont:database', 'o': (CASE WHEN db <> '' THEN db END)}},
+        {{'s': ds_uri, 'p': 'ont:schema', 'o': (CASE WHEN sch <> '' THEN sch END)}},
+        {{'s': ds_uri, 'p': 'ont:item', 'o': (CASE WHEN item <> '' THEN item END)}},
+        {{'s': ds_uri, 'p': 'ont:connectionString',
+          'o': host || '/' || db || '.' || sch || '.' || item}}]) AS _(u)
+    WHERE u.o IS NOT NULL),
+layout AS (  -- report layout (functions/layout.py): two-level JSON
+    SELECT c.repo, c.path, coalesce(d.dataset, 'Unknown') AS dataset,
+           json_transform(c.content::JSON,
+               '{{"sections":[{{"name":"VARCHAR",'
+               '"visualContainers":[{{"config":"VARCHAR"}}]}}]}}') AS l
+    FROM corpus c LEFT JOIN repo_ds d USING (repo)
+    WHERE lang = 'report_json'),
+vis AS (
+    SELECT repo, path, dataset, page, i - 1 AS visual_idx,
+           json_extract_string(vcs[i].config, '$.singleVisual.visualType')
+               AS vtype,
+           json_extract(vcs[i].config, '$.singleVisual.projections') AS proj
+    FROM (SELECT repo, path, dataset, coalesce(s.name, '') AS page,
+                 coalesce(s.visualContainers, []) AS vcs
+          FROM (SELECT repo, path, dataset,
+                       unnest(coalesce(l.sections, [])) AS s
+                FROM layout)),
+         unnest(range(1, len(vcs) + 1)) AS _(i)),
+binding AS (
+    SELECT v.repo, v.path, v.dataset, v.page, v.visual_idx,
+           json_extract_string(
+               json_extract(v.proj, '$.' || k || '[' ||
+                   CAST(j - 1 AS VARCHAR) || '].queryRef'), '$') AS qref
+    FROM (SELECT *, unnest(json_keys(proj)) AS k FROM vis) v,
+         unnest(range(1, CAST(json_array_length(
+             json_extract(v.proj, '$.' || v.k)) AS BIGINT) + 1)) AS _(j)),
+t_rep AS (
+    SELECT repo, dataset, u.s AS subj, u.p AS pred, u.o AS obj
+    FROM (SELECT DISTINCT repo, path, dataset,
+                 'ont:report_' || {_safe('path')} AS rep_uri FROM vis),
+         UNNEST([
+        {{'s': rep_uri, 'p': 'rdf:type', 'o': 'ont:Report'}},
+        {{'s': rep_uri, 'p': 'ont:usesDataset',
+          'o': 'ont:' || {_safe('dataset')}}}]) AS _(u)),
+t_vis AS (
+    SELECT repo, dataset, u.s AS subj, u.p AS pred, u.o AS obj
+    FROM (SELECT *,
+                 'ont:visual_' || {_safe('path')} || '_' || {_safe('page')} ||
+                     '_' || CAST(visual_idx AS VARCHAR) AS v_uri,
+                 'ont:report_' || {_safe('path')} AS rep_uri
+          FROM vis), UNNEST([
+        {{'s': v_uri, 'p': 'rdf:type', 'o': 'ont:Visual'}},
+        {{'s': v_uri, 'p': 'ont:visualType', 'o': vtype}},
+        {{'s': v_uri, 'p': 'ont:onPage', 'o': page}},
+        {{'s': v_uri, 'p': 'ont:inReport', 'o': rep_uri}}]) AS _(u)
+    WHERE u.o IS NOT NULL),
+t_bind AS (
+    SELECT repo, dataset,
+           'ont:visual_' || {_safe('path')} || '_' || {_safe('page')} || '_'
+               || CAST(visual_idx AS VARCHAR) AS subj,
+           'ont:bindsField' AS pred,
+           'ont:' || {_safe('qref')} AS obj
+    FROM binding WHERE qref IS NOT NULL),
+triples AS (  -- rdflib Graph set semantics = DISTINCT over the union
+    SELECT DISTINCT repo, dataset, subj, pred, obj FROM (
+        SELECT * FROM t_meta UNION ALL SELECT * FROM t_base
+        UNION ALL SELECT * FROM t_ent UNION ALL SELECT * FROM t_prop
+        UNION ALL SELECT * FROM t_req UNION ALL SELECT * FROM t_rel
+        UNION ALL SELECT * FROM t_rule UNION ALL SELECT * FROM t_crud
+        UNION ALL SELECT * FROM t_rls_prop UNION ALL SELECT * FROM t_rls
+        UNION ALL SELECT * FROM t_lin_head UNION ALL SELECT * FROM t_lin_dep
+        UNION ALL SELECT * FROM t_pc UNION ALL SELECT * FROM t_side_flat
+        UNION ALL SELECT * FROM t_side_enum UNION ALL SELECT * FROM t_ec
+        UNION ALL SELECT * FROM t_m UNION ALL SELECT * FROM t_rep
+        UNION ALL SELECT * FROM t_vis UNION ALL SELECT * FROM t_bind))
+"""
+
+
+def triples_by_pred_sql(
+    corpus_path: str, generated_at: str = "1970-01-01T00:00:00"
+) -> str:
+    return (
+        "WITH "
+        + _prelude(corpus_path)
+        + ","
+        + _RULES
+        + ","
+        + _ALL_MEASURES
+        + ","
+        + _triple_families(generated_at)
+        + """
+SELECT pred, CAST(count(*) AS BIGINT) AS n
+FROM triples GROUP BY pred ORDER BY pred"""
+    )
+
+
+def lineage_edges_sql(corpus_path: str) -> str:
+    return (
+        "WITH "
+        + _prelude(corpus_path)
+        + ","
+        + _ALL_MEASURES
+        + f"""
+SELECT DISTINCT repo, dataset,
+       'ont:measure_' || {_safe('mname')} AS subj,
+       CASE WHEN dep LIKE '%.*'
+            THEN 'ont:' || {_safe('substr(dep, 1, len(dep) - 2)')}
+            ELSE 'ont:' || {_safe('dep')} END AS obj
+FROM (SELECT repo, dataset, mname, unnest(deps) AS dep FROM dep_lists)
+ORDER BY repo, dataset, subj, obj"""
+    )
+
+
+def measure_conflicts_sql(corpus_path: str) -> str:
+    """analyzer.py:79-121 pair semantics + :319-335 severity."""
+    return (
+        "WITH "
+        + _prelude(corpus_path)
+        + r""",
+m AS (
+    SELECT lower(mname) AS concept, mname AS name,
+           repo || '/' || dataset AS src, expr AS formula
+    FROM msr),
+ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY concept ORDER BY src, name) AS rnk
+    FROM m)
+SELECT a.concept AS concept, a.src AS dashboard1, b.src AS dashboard2,
+       CASE WHEN lower(a.formula) = lower(b.formula) THEN 'LOW'
+            WHEN contains(a.formula, '>') AND contains(b.formula, '>')
+                 AND regexp_extract(a.formula, '[><=]+\s*(\d+)', 1) <> ''
+                 AND regexp_extract(b.formula, '[><=]+\s*(\d+)', 1) <> ''
+                 AND abs(CAST(regexp_extract(a.formula, '[><=]+\s*(\d+)', 1)
+                              AS BIGINT)
+                         - CAST(regexp_extract(b.formula, '[><=]+\s*(\d+)', 1)
+                                AS BIGINT)) > 20 THEN 'HIGH'
+            ELSE 'MEDIUM' END AS severity
+FROM ranked a JOIN ranked b
+  ON a.concept = b.concept AND a.rnk < b.rnk
+WHERE a.formula <> b.formula
+ORDER BY concept, dashboard1, dashboard2"""
+    )
+
+
+def duplicate_logic_sql(corpus_path: str) -> str:
+    """analyzer.py:154-200: group by whitespace-stripped lowercase
+    formula; the fixture's duplicate groups are single-name, so
+    min(name) ≡ the engine's names[1]."""
+    return (
+        "WITH "
+        + _prelude(corpus_path)
+        + r""",
+m AS (
+    SELECT repo || '/' || dataset AS src, mname AS name,
+           lower(regexp_replace(expr, '\s+', '', 'g')) AS norm
+    FROM msr)
+SELECT min(name) AS measure_name,
+       CAST(count(*) AS BIGINT) AS n_dashboards
+FROM m GROUP BY norm HAVING count(*) > 1
+ORDER BY measure_name"""
+    )
+
+
+def canonical_clusters_sql(corpus_path: str) -> str:
+    """EXACT all-pairs entity linking (name heuristic of
+    schema_mapper.py:353-369 + property-set Jaccard ≥ 0.5) + transitive
+    closure — an independent brute-force oracle for the engine's
+    MinHash-LSH + large-star/small-star approximation.  Agreement here
+    is a recall proof for the LSH blocking at this corpus scale."""
+    name_sim = """
+        (x.sname = y.sname OR contains(y.sname, x.sname) OR
+         contains(x.sname, y.sname) OR
+         (abs(len(x.sname) - len(y.sname)) <= 3 AND
+          len(list_filter(range(1, len(x.sname) + 1),
+              i -> contains(y.sname, x.sname[i]))) >
+              0.7 * greatest(len(x.sname), len(y.sname))))"""
+    return (
+        "WITH RECURSIVE "
+        + _prelude(corpus_path)
+        + f""",
+nodes AS (
+    SELECT e.repo || '||' || e.dataset || '||' || e.entity AS id,
+           replace(replace(lower(e.entity), '_', ''), '-', '') AS sname,
+           coalesce(p.props, []) AS props
+    FROM ent2 e LEFT JOIN (
+        SELECT repo, dataset, entity,
+               list_sort(list_distinct(list(pname))) AS props
+        FROM prop GROUP BY repo, dataset, entity) p
+      ON e.repo = p.repo AND e.dataset = p.dataset AND e.entity = p.entity),
+edges AS (
+    SELECT x.id AS u, y.id AS v
+    FROM nodes x JOIN nodes y ON x.id < y.id
+    WHERE x.sname <> '' AND y.sname <> '' AND {name_sim}
+      AND (CASE WHEN len(list_distinct(list_concat(x.props, y.props))) = 0
+                THEN 1.0
+                ELSE CAST(len(list_intersect(x.props, y.props)) AS DOUBLE) /
+                     len(list_distinct(list_concat(x.props, y.props))) END)
+          >= 0.5),
+edges_sym AS (
+    SELECT u, v FROM edges UNION SELECT v, u FROM edges),
+reach(a, b) AS (
+    SELECT id, id FROM nodes
+    UNION
+    SELECT r.a, e.v FROM reach r JOIN edges_sym e ON e.u = r.b),
+comp AS (SELECT a AS node, min(b) AS component FROM reach GROUP BY a),
+sizes AS (
+    SELECT component, CAST(count(*) AS BIGINT) AS n_members
+    FROM comp GROUP BY component)
+SELECT n_members, CAST(count(*) AS BIGINT) AS n_clusters
+FROM sizes GROUP BY n_members ORDER BY n_members"""
+    )
+
+
+def schema_drift_sql(corpus_path: str) -> str:
+    """schema_mapper.py:77-254 set semantics over snake_case bindings,
+    with the same deterministic synthetic drift as the Spark query
+    (drop risk_score, retype temperature)."""
+    return (
+        "WITH "
+        + _prelude(corpus_path)
+        + r""",
+bindings AS (
+    SELECT DISTINCT repo, dataset, entity,
+           lower(regexp_replace(regexp_replace(pname,
+               '(.)([A-Z][a-z]+)', '\1_\2', 'g'),
+               '([a-z0-9])([A-Z])', '\1_\2', 'g')) AS col,
+           otype AS expected_type
+    FROM prop),
+actual AS (
+    SELECT repo, dataset, entity, col,
+           CASE WHEN col = 'temperature' THEN 'String'
+                ELSE expected_type END AS col_type
+    FROM bindings WHERE col <> 'risk_score'),
+missing AS (
+    SELECT b.* FROM bindings b ANTI JOIN actual a
+      USING (repo, dataset, entity, col)),
+newcols AS (
+    SELECT a.* FROM actual a ANTI JOIN bindings b
+      USING (repo, dataset, entity, col)),
+renamed AS (
+    -- rename heuristic (schema_mapper.py:208-217): empty here since the
+    -- synthetic catalog only drops/retypes, but kept for faithfulness
+    SELECT m.repo, m.dataset, m.entity, m.col AS missing_col,
+           n.col AS new_col
+    FROM missing m JOIN newcols n
+      ON m.repo = n.repo AND m.dataset = n.dataset AND m.entity = n.entity
+    WHERE contains(replace(replace(lower(n.col), '_', ''), '-', ''),
+                   replace(replace(lower(m.col), '_', ''), '-', ''))
+       OR contains(replace(replace(lower(m.col), '_', ''), '-', ''),
+                   replace(replace(lower(n.col), '_', ''), '-', ''))),
+drift AS (
+    SELECT 'missing_column' AS drift_type, 'CRITICAL' AS severity
+    FROM missing m
+    WHERE NOT EXISTS (SELECT 1 FROM renamed r
+        WHERE r.repo = m.repo AND r.dataset = m.dataset
+          AND r.entity = m.entity AND r.missing_col = m.col)
+    UNION ALL
+    SELECT 'renamed_column', 'WARNING' FROM renamed
+    UNION ALL
+    SELECT 'type_change', 'WARNING'
+    FROM bindings b JOIN actual a USING (repo, dataset, entity, col)
+    WHERE b.expected_type <> a.col_type
+    UNION ALL
+    SELECT 'new_column', 'INFO'
+    FROM newcols n
+    WHERE NOT EXISTS (SELECT 1 FROM renamed r
+        WHERE r.repo = n.repo AND r.dataset = n.dataset
+          AND r.entity = n.entity AND r.new_col = n.col))
+SELECT drift_type, severity, CAST(count(*) AS BIGINT) AS n
+FROM drift GROUP BY drift_type, severity ORDER BY drift_type"""
+    )
