@@ -146,6 +146,36 @@ def _kg_canonical_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kg_fabric_owl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T16: Fabric IQ → OWL conversion census (fabric_iq_to_owl.py
+    grammar) over the corpus fixture."""
+    from powerbi_ontology_extractor_spark.operators.exporters import (
+        ontoguard_bindings,
+    )
+    from powerbi_ontology_extractor_spark.operators.extract import extract_all
+    from powerbi_ontology_extractor_spark.operators.fabric_owl import (
+        fabric_iq_owl_triples,
+    )
+    from powerbi_ontology_extractor_spark.operators.ontology import (
+        generate_ontology,
+    )
+
+    dfs = extract_all(_corpus(spark))
+    onto = generate_ontology(dfs)
+    t = fabric_iq_owl_triples(
+        onto["ontology_entities"],
+        dfs["properties"],
+        onto["ontology_relationships"],
+        onto["business_rules"],
+        bindings=ontoguard_bindings(onto["ontology_entities"], dfs["properties"]),
+    )
+    return (
+        t.groupBy("pred")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .orderBy("pred")
+    )
+
+
 def _kg_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from powerbi_ontology_extractor_spark.operators.drift import (
         create_bindings,
@@ -604,6 +634,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_duplicate_logic": _kg_duplicates,
         "kg_canonical_clusters": _kg_canonical_entities,
         "kg_schema_drift": _kg_drift,
+        "kg_fabric_owl_by_pred": _kg_fabric_owl,
         # relational operator families (DuckDB oracle)
         "q_pricing_summary": _q_pricing_summary,
         "q_top_orders": _q_top_orders,
@@ -650,6 +681,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_duplicate_logic": kg_oracles.duplicate_logic_sql(path),
         "kg_canonical_clusters": kg_oracles.canonical_clusters_sql(path),
         "kg_schema_drift": kg_oracles.schema_drift_sql(path),
+        "kg_fabric_owl_by_pred": kg_oracles.fabric_owl_by_pred_sql(path),
         "q_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,

@@ -840,6 +840,220 @@ FROM sizes GROUP BY n_members ORDER BY n_members"""
     )
 
 
+def _fabric_static_values() -> str:
+    """fabric_iq_to_owl.py:126-201 — base classes (5 roles), action
+    classes, OntoGuard properties (incl. requiresApproval): 53 triples."""
+    rows = [
+        ("ont:User", "rdf:type", "owl:Class"),
+        ("ont:User", "rdfs:label", "User"),
+        ("ont:User", "rdfs:comment", "Base class for all user roles"),
+    ]
+    for role in ["Admin", "Analyst", "Viewer", "Editor", "Owner"]:
+        rows += [
+            (f"ont:{role}", "rdf:type", "owl:Class"),
+            (f"ont:{role}", "rdfs:subClassOf", "ont:User"),
+            (f"ont:{role}", "rdfs:label", role),
+        ]
+    rows += [
+        ("ont:Action", "rdf:type", "owl:Class"),
+        ("ont:Action", "rdfs:label", "Action"),
+        ("ont:Action", "rdfs:comment",
+         "Base class for all actions that can be performed"),
+    ]
+    for a in ["ReadAction", "WriteAction", "DeleteAction", "ExecuteAction"]:
+        rows += [
+            (f"ont:{a}", "rdf:type", "owl:Class"),
+            (f"ont:{a}", "rdfs:subClassOf", "ont:Action"),
+            (f"ont:{a}", "rdfs:label", a),
+        ]
+    rows += [
+        ("ont:requiresRole", "rdf:type", "owl:ObjectProperty"),
+        ("ont:requiresRole", "rdfs:label", "requires role"),
+        ("ont:requiresRole", "rdfs:comment",
+         "Specifies which user role is required to perform an action"),
+        ("ont:requiresRole", "rdfs:domain", "ont:Action"),
+        ("ont:requiresRole", "rdfs:range", "ont:User"),
+        ("ont:appliesTo", "rdf:type", "owl:ObjectProperty"),
+        ("ont:appliesTo", "rdfs:label", "applies to"),
+        ("ont:appliesTo", "rdfs:comment",
+         "Specifies which entity type an action can be applied to"),
+        ("ont:appliesTo", "rdfs:domain", "ont:Action"),
+        ("ont:appliesTo", "rdfs:range", "owl:Thing"),
+        ("ont:requiresApproval", "rdf:type", "owl:ObjectProperty"),
+        ("ont:requiresApproval", "rdfs:label", "requires approval"),
+        ("ont:requiresApproval", "rdfs:comment",
+         "Indicates that an action requires approval from a specific role"),
+        ("ont:requiresApproval", "rdfs:domain", "ont:Action"),
+        ("ont:requiresApproval", "rdfs:range", "ont:User"),
+        ("ont:allowsAction", "rdf:type", "owl:DatatypeProperty"),
+        ("ont:allowsAction", "rdfs:label", "allows action"),
+        ("ont:allowsAction", "rdfs:comment",
+         "Specifies the action type: read, create, update, delete"),
+        ("ont:allowsAction", "rdfs:domain", "ont:Action"),
+        ("ont:allowsAction", "rdfs:range", "xsd:string"),
+    ]
+    return ",\n        ".join("('{}', '{}', '{}')".format(*r) for r in rows)
+
+
+def _safe_uri(expr: str) -> str:
+    """fabric_iq_to_owl.py:407-413 — translate then strip non-word."""
+    return (
+        f"regexp_replace(translate({expr}, ' -.', '___'), "
+        "'[^A-Za-z0-9_]', '', 'g')"
+    )
+
+
+def fabric_owl_by_pred_sql(
+    corpus_path: str,
+    extracted_date: str = "1970-01-01T00:00:00",
+    version: str = "1.0.0",
+    source: str = "Power BI",
+) -> str:
+    """Independent recomputation of the Fabric IQ → OWL triple census
+    (fabric_iq_to_owl.py:67-405 grammar over the same corpus)."""
+    su = _safe_uri
+    e_uri = "'ont:' || " + su("entity")
+    p_uri = "'ont:' || " + su("entity || '_' || pname")
+    fxsd = (
+        "CASE lower(otype) WHEN 'string' THEN 'xsd:string' "
+        "WHEN 'integer' THEN 'xsd:integer' WHEN 'int' THEN 'xsd:integer' "
+        "WHEN 'decimal' THEN 'xsd:decimal' WHEN 'float' THEN 'xsd:decimal' "
+        "WHEN 'double' THEN 'xsd:double' WHEN 'date' THEN 'xsd:date' "
+        "WHEN 'datetime' THEN 'xsd:dateTime' WHEN 'boolean' THEN "
+        "'xsd:boolean' WHEN 'bool' THEN 'xsd:boolean' ELSE 'xsd:string' END"
+    )
+    snake = (
+        "lower(regexp_replace(regexp_replace(entity, '(.)([A-Z][a-z]+)', "
+        r"'\1_\2', 'g'), '([a-z0-9])([A-Z])', '\1_\2', 'g'))"
+    )
+    return (
+        "WITH "
+        + _prelude(corpus_path)
+        + ","
+        + _RULES
+        + f""",
+f_meta AS (
+    SELECT repo, dataset, u.s AS subj, u.p AS pred, u.o AS obj
+    FROM repo_ds, UNNEST([
+        {{'s': 'ont:' || {su(f"dataset || '_v{version}'")}, 'p': 'rdf:type',
+          'o': 'owl:Ontology'}},
+        {{'s': 'ont:' || {su(f"dataset || '_v{version}'")}, 'p': 'rdfs:label',
+          'o': dataset || '_v{version}'}},
+        {{'s': 'ont:' || {su(f"dataset || '_v{version}'")},
+          'p': 'rdfs:comment', 'o': 'Ontology extracted from {source}'}},
+        {{'s': 'ont:' || {su(f"dataset || '_v{version}'")},
+          'p': 'owl:versionInfo', 'o': '{version}'}},
+        {{'s': 'ont:' || {su(f"dataset || '_v{version}'")},
+          'p': 'ont:extractedDate', 'o': '{extracted_date}'}}]) AS _(u)),
+f_base AS (
+    SELECT d.repo, d.dataset, b.subj, b.pred, b.obj
+    FROM repo_ds d CROSS JOIN (VALUES
+        {_fabric_static_values()}) AS b(subj, pred, obj)),
+f_ent AS (
+    SELECT repo, dataset, u.s AS subj, u.p AS pred, u.o AS obj
+    FROM ent2, UNNEST([
+        {{'s': {e_uri}, 'p': 'rdf:type', 'o': 'owl:Class'}},
+        {{'s': {e_uri}, 'p': 'rdfs:label', 'o': entity}},
+        {{'s': {e_uri}, 'p': 'rdfs:comment',
+          'o': CASE WHEN descr <> '' THEN descr END}},
+        {{'s': {e_uri}, 'p': 'ont:entityType',
+          'o': CASE WHEN entity_type <> '' THEN entity_type END}},
+        {{'s': {e_uri}, 'p': 'ont:sourceTable', 'o': entity}}]) AS _(u)
+    WHERE u.o IS NOT NULL),
+f_prop AS (
+    SELECT repo, dataset, u.s AS subj, u.p AS pred, u.o AS obj
+    FROM prop, UNNEST([
+        {{'s': {p_uri}, 'p': 'rdf:type', 'o': 'owl:DatatypeProperty'}},
+        {{'s': {p_uri}, 'p': 'rdfs:label', 'o': pname}},
+        {{'s': {p_uri}, 'p': 'rdfs:domain', 'o': {e_uri}}},
+        {{'s': {p_uri}, 'p': 'rdfs:range', 'o': {fxsd}}},
+        {{'s': {p_uri}, 'p': 'rdfs:comment',
+          'o': CASE WHEN pdescr <> '' THEN pdescr END}}]) AS _(u)
+    WHERE u.o IS NOT NULL),
+f_crud AS (
+    SELECT repo, dataset, u.s AS subj, u.p AS pred, u.o AS obj
+    FROM (SELECT e.*, c.action, c.action_class, c.role,
+                 'ont:' || {su("c.action || '_' || e.entity")} AS act
+          FROM ent2 e CROSS JOIN (VALUES
+              ('read', 'ont:ReadAction', 'Viewer'),
+              ('create', 'ont:WriteAction', 'Editor'),
+              ('update', 'ont:WriteAction', 'Editor'),
+              ('delete', 'ont:DeleteAction', 'Admin'))
+              AS c(action, action_class, role)), UNNEST([
+        {{'s': act, 'p': 'rdf:type', 'o': action_class}},
+        {{'s': act, 'p': 'rdfs:label', 'o': action || ' ' || entity}},
+        {{'s': act, 'p': 'ont:allowsAction', 'o': action}},
+        {{'s': act, 'p': 'ont:appliesTo', 'o': {e_uri}}},
+        {{'s': act, 'p': 'ont:requiresRole', 'o': 'ont:' || role}}]) AS _(u)),
+f_rel AS (
+    SELECT repo, dataset, u.s AS subj, u.p AS pred, u.o AS obj
+    FROM (SELECT *, 'ont:' ||
+                 {su("from_e || '_' || rel_type || '_' || to_e")} AS rel_uri
+          FROM rel2 WHERE from_e <> '' AND to_e <> ''), UNNEST([
+        {{'s': rel_uri, 'p': 'rdf:type', 'o': 'owl:ObjectProperty'}},
+        {{'s': rel_uri, 'p': 'rdfs:label', 'o': rel_type}},
+        {{'s': rel_uri, 'p': 'rdfs:domain', 'o': 'ont:' || {su('from_e')}}},
+        {{'s': rel_uri, 'p': 'rdfs:range', 'o': 'ont:' || {su('to_e')}}},
+        {{'s': rel_uri, 'p': 'rdfs:comment',
+          'o': 'Relationship from ' || from_e || ' to ' || to_e}},
+        {{'s': rel_uri, 'p': 'ont:cardinality',
+          'o': CASE WHEN card <> '' THEN card END}}]) AS _(u)
+    WHERE u.o IS NOT NULL),
+f_rules AS (
+    SELECT repo, dataset, u.s AS subj, u.p AS pred, u.o AS obj
+    FROM (SELECT *,
+                 'ont:' || {su('rule_name')} || 'Action' AS cls,
+                 'ont:' || {su('rule_name')} || 'ActionInstance' AS inst,
+                 coalesce(CASE WHEN rentity <> '' THEN rentity END, tbl)
+                     AS r_ent,
+                 -- P15 triggers (fabric_iq.py:234-243): NotifyOperations
+                 -- overrides the classification→role mapping (:336-356)
+                 CASE WHEN lower(action) LIKE '%notify%' OR lower(action)
+                          LIKE '%alert%' THEN 'Admin'
+                      WHEN lower(classification) IN ('critical', 'high')
+                          THEN 'Admin'
+                      WHEN lower(classification) = 'medium' THEN 'Editor'
+                      WHEN lower(classification) = 'low' THEN 'Viewer'
+                      WHEN lower(classification) = 'notify' THEN 'Analyst'
+                      ELSE 'Viewer' END AS req_role
+          FROM rules WHERE rule_name <> ''), UNNEST([
+        {{'s': cls, 'p': 'rdf:type', 'o': 'owl:Class'}},
+        {{'s': cls, 'p': 'rdfs:subClassOf', 'o': 'ont:Action'}},
+        {{'s': cls, 'p': 'rdfs:label', 'o': rule_name}},
+        {{'s': cls, 'p': 'rdfs:comment',
+          'o': CASE WHEN coalesce(CASE WHEN rdescr <> '' THEN rdescr END,
+                         mdescr) <> '' THEN
+                   coalesce(CASE WHEN rdescr <> '' THEN rdescr END, mdescr)
+               END}},
+        {{'s': inst, 'p': 'rdf:type', 'o': cls}},
+        {{'s': inst, 'p': 'rdfs:label', 'o': rule_name || ' action'}},
+        {{'s': inst, 'p': 'ont:allowsAction',
+          'o': CASE WHEN action <> '' THEN lower(action) END}},
+        {{'s': inst, 'p': 'ont:appliesTo',
+          'o': CASE WHEN r_ent <> '' THEN 'ont:' || {su('r_ent')} END}},
+        {{'s': inst, 'p': 'ont:requiresRole', 'o': 'ont:' || req_role}},
+        {{'s': inst, 'p': 'ont:ruleCondition',
+          'o': CASE WHEN cond <> '' THEN cond END}}]) AS _(u)
+    WHERE u.o IS NOT NULL),
+f_bind AS (
+    SELECT repo, dataset, {e_uri} AS subj, 'ont:schemaSource' AS pred,
+           'sql_db.dbo.' || {snake} AS obj
+    FROM ent2
+    UNION ALL
+    SELECT repo, dataset, {p_uri} AS subj, 'ont:sourceColumn' AS pred,
+           pname AS obj
+    FROM prop),
+f_triples AS (
+    SELECT DISTINCT repo, dataset, subj, pred, obj FROM (
+        SELECT * FROM f_meta UNION ALL SELECT * FROM f_base
+        UNION ALL SELECT * FROM f_ent UNION ALL SELECT * FROM f_prop
+        UNION ALL SELECT * FROM f_crud UNION ALL SELECT * FROM f_rel
+        UNION ALL SELECT * FROM f_rules UNION ALL SELECT * FROM f_bind))
+SELECT pred, CAST(count(*) AS BIGINT) AS n
+FROM f_triples GROUP BY pred ORDER BY pred"""
+    )
+
+
 def schema_drift_sql(corpus_path: str) -> str:
     """schema_mapper.py:77-254 set semantics over snake_case bindings,
     with the same deterministic synthetic drift as the Spark query

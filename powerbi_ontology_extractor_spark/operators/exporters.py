@@ -119,6 +119,31 @@ def json_schema_docs(entities: DataFrame, properties: DataFrame) -> DataFrame:
     )
 
 
+def fabric_iq_business_rules(business_rules: DataFrame) -> DataFrame:
+    """One Fabric IQ rule doc per business rule with trigger tags (P15)
+    (export/fabric_iq.py:128-148 + :234-243 trigger extraction)."""
+    from powerbi_ontology_extractor_spark.operators.fabric_owl import (
+        rule_triggers,
+    )
+
+    src = F.when(
+        F.coalesce(F.col("source_measure"), F.lit("")) != "",
+        F.concat(F.lit("DAX: "), F.col("source_measure")),
+    ).otherwise("Manual")
+    return business_rules.select(
+        *KEYS,
+        "name",
+        src.alias("source"),
+        "entity",
+        "condition",
+        "action",
+        "classification",
+        rule_triggers(F.col("action")).alias("triggers"),
+        "description",
+        "priority",
+    )
+
+
 def ontoguard_bindings(entities: DataFrame, properties: DataFrame) -> DataFrame:
     """Schema bindings: expected snake_case columns, default physical
     source ``sql_db.dbo.<snake(entity)>``, PK = first unique property by
