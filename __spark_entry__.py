@@ -121,10 +121,7 @@ def _kg_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     dfs = extract_all(_corpus(spark))
     return (
         duplicate_logic(dfs["measures"])
-        .select(
-            "measure_name",
-            F.size("dashboards").cast("bigint").alias("n_dashboards"),
-        )
+        .select("measure_name", "n_dashboards")
         .orderBy("measure_name")
     )
 

@@ -33,6 +33,7 @@ from pyspark.sql.types import DoubleType
 from pyspark.sql.window import Window
 
 from powerbi_ontology_extractor_spark.functions.naming import normalize_formula
+from powerbi_ontology_extractor_spark.functions.salt import with_salt
 
 
 def _src() -> Column:
@@ -54,9 +55,16 @@ def measure_conflicts(measures: DataFrame, max_group: int = 1000) -> DataFrame:
     LOW; both have '>' and first extracted integer thresholds differ by
     >20 → HIGH; else MEDIUM.
 
-    ``max_group`` salting guard: groups larger than this are ranked and
-    truncated before pairing (quadratic blowup cap for hot names);
-    truncation is observable via the ``capped`` flag.
+    ``max_group`` guard: hot concepts (pair output is quadratic per
+    group) are down-sampled to ~``max_group`` members with a
+    deterministic hash-sample — NO window.  A row_number window would
+    shuffle the entire hot group onto one task before truncating, i.e.
+    the cap itself would be the skew bottleneck at cluster scale; the
+    hash-sample needs only a per-concept count (map-side combinable)
+    joined back.  Truncation is observable via the ``capped`` flag.
+    Pair orientation uses the (src, name) tuple order directly
+    (equivalent to the old rank order, minus degenerate identical
+    (src, name) duplicates).
     """
     m = _with_src(measures).select(
         F.lower(F.col("measure")).alias("concept"),
@@ -64,17 +72,34 @@ def measure_conflicts(measures: DataFrame, max_group: int = 1000) -> DataFrame:
         "src",
         F.col("dax_formula").alias("formula"),
     )
-    w = Window.partitionBy("concept").orderBy("src", "name")
-    ranked = (
-        m.withColumn("rank", F.row_number().over(w))
-        .withColumn("capped", F.col("rank") > max_group)
-        .where(~F.col("capped"))
+    # per-concept counts: tiny per key after map-side combine; plain
+    # shuffle join back (concept cardinality can be huge — never
+    # broadcast; AQE splits the skewed probe side)
+    counts = m.groupBy("concept").agg(F.count("*").alias("_n"))
+    m = m.join(counts, "concept").withColumn(
+        "capped", F.col("_n") > max_group
     )
-    a, b = ranked.alias("a"), ranked.alias("b")
+    keep_prob = F.least(
+        F.lit(1.0), F.lit(float(max_group)) / F.col("_n")
+    )
+    sampled = m.where(
+        ~F.col("capped")
+        | (
+            F.pmod(F.xxhash64("src", "name"), F.lit(1_000_000))
+            < (keep_prob * 1_000_000).cast("long")
+        )
+    )
+    a, b = sampled.alias("a"), sampled.alias("b")
     pairs = a.join(
         b,
         (F.col("a.concept") == F.col("b.concept"))
-        & (F.col("a.rank") < F.col("b.rank")),
+        & (
+            (F.col("a.src") < F.col("b.src"))
+            | (
+                (F.col("a.src") == F.col("b.src"))
+                & (F.col("a.name") < F.col("b.name"))
+            )
+        ),
     ).where(F.col("a.formula") != F.col("b.formula"))
 
     f1, f2 = F.col("a.formula"), F.col("b.formula")
@@ -152,25 +177,52 @@ def entity_structure_conflicts(properties: DataFrame) -> DataFrame:
     )
 
 
-def duplicate_logic(measures: DataFrame) -> DataFrame:
+def duplicate_logic(
+    measures: DataFrame, buckets: int = 16, max_exemplars: int = 10_000
+) -> DataFrame:
     """Group by normalized formula; >1 occurrence ⇒ duplication
-    (analyzer.py:154-200).  Pure hash aggregation — the reference's
-    dict-of-lists becomes one groupBy."""
+    (analyzer.py:154-200).
+
+    Hot-key shape: a formula shared by 10⁶ dashboards would funnel one
+    reducer and build a 10⁶-element array — so the collect is salted
+    two-phase (partial lists per (norm, salt), flatten-merge), the
+    merged exemplar arrays are capped at ``max_exemplars`` (sorted →
+    deterministic), and the exact group size is carried separately as
+    ``n_dashboards`` so counts never depend on the cap.
+    """
     m = _with_src(measures).select(
         "src",
         F.col("measure").alias("name"),
         F.col("dax_formula").alias("formula"),
         normalize_formula(F.col("dax_formula")).alias("norm"),
     )
-    g = (
-        m.groupBy("norm")
+    partial = (
+        with_salt(m, ["src", "name"], buckets)
+        .groupBy("norm", "_salt")
         .agg(
-            F.collect_list("src").alias("dashboards"),
-            F.collect_list("name").alias("names"),
-            F.first("formula").alias("dax_formula"),
-            F.count("*").alias("n"),
+            F.collect_list("src").alias("_srcs"),
+            F.collect_list("name").alias("_names"),
+            F.min("formula").alias("_formula"),
+            F.count("*").alias("_n"),
         )
-        .where(F.col("n") > 1)
+    )
+    g = (
+        partial.groupBy("norm")
+        .agg(
+            F.slice(
+                F.array_sort(F.flatten(F.collect_list("_srcs"))),
+                1,
+                max_exemplars,
+            ).alias("dashboards"),
+            F.slice(
+                F.array_sort(F.flatten(F.collect_list("_names"))),
+                1,
+                max_exemplars,
+            ).alias("names"),
+            F.min("_formula").alias("dax_formula"),
+            F.sum("_n").cast("bigint").alias("n_dashboards"),
+        )
+        .where(F.col("n_dashboards") > 1)
     )
     same_name = F.size(F.array_distinct(F.col("names"))) == 1
     return g.select(
@@ -179,20 +231,21 @@ def duplicate_logic(measures: DataFrame) -> DataFrame:
             F.concat(
                 F.element_at("names", 1),
                 F.lit(" (and "),
-                (F.size("names") - 1).cast("string"),
+                (F.col("n_dashboards") - 1).cast("string"),
                 F.lit(" others)"),
             )
         )
         .alias("measure_name"),
         "dashboards",
         "dax_formula",
+        "n_dashboards",
         F.when(
             same_name,
             F.concat(
                 F.lit("Same measure '"),
                 F.element_at("names", 1),
                 F.lit("' duplicated across "),
-                F.size("dashboards").cast("string"),
+                F.col("n_dashboards").cast("string"),
                 F.lit(" dashboards"),
             ),
         )
@@ -217,13 +270,30 @@ def canonical_definitions(measures: DataFrame) -> DataFrame:
         F.col("dax_formula").alias("formula"),
         normalize_formula(F.col("dax_formula")).alias("norm"),
     )
-    totals = m.groupBy("name").agg(F.count("*").alias("total")).where(
-        F.col("total") > 1
+    # salted two-phase collect: a KPI name used by 10⁶ dashboards must
+    # not funnel one reducer; exemplar srcs capped, exact cnt carried
+    partial = (
+        with_salt(m, ["src"], 16)
+        .groupBy("name", "norm", "_salt")
+        .agg(
+            F.count("*").alias("_n"),
+            F.collect_list("src").alias("_srcs"),
+        )
     )
-    counts = m.groupBy("name", "norm").agg(
-        F.count("*").alias("cnt"),
-        F.collect_list("src").alias("srcs"),
+    counts = partial.groupBy("name", "norm").agg(
+        F.sum("_n").alias("cnt"),
+        F.slice(
+            F.array_sort(F.flatten(F.collect_list("_srcs"))), 1, 10_000
+        ).alias("srcs"),
     )
+    # totals derived from the aggregated frame — no second scan of m
+    totals = (
+        counts.groupBy("name")
+        .agg(F.sum("cnt").alias("total"))
+        .where(F.col("total") > 1)
+    )
+    # the window runs over (name, norm) AGGREGATES (distinct formulas
+    # per name), not raw rows — cardinality-bounded, not a skew risk
     w = Window.partitionBy("name").orderBy(F.desc("cnt"), "norm")
     ranked = counts.join(totals, "name").withColumn(
         "rk", F.row_number().over(w)
@@ -380,13 +450,38 @@ def rule_conflicts(
     """Same rule name, >1 distinct condition; severity by
     SequenceMatcher similarity of the first two distinct conditions
     (semantic_debt.py:462-504).  Exact similarity only runs *inside*
-    name groups — the group-by is the blocking step."""
-    g = (
-        _with_src(business_rules)
-        .groupBy("name")
+    name groups — the group-by is the blocking step.
+
+    The collect_sets are salted two-phase (hot rule names spread over
+    16 reducers, distinct-merge after) and capped at 10k exemplars
+    post-sort — the severity probe only reads the first two sorted
+    conditions, which the cap never disturbs."""
+    r = _with_src(business_rules)
+    partial = (
+        with_salt(r, ["src", "condition"], 16)
+        .groupBy("name", "_salt")
         .agg(
-            F.array_sort(F.collect_set("condition")).alias("conditions"),
-            F.array_sort(F.collect_set("src")).alias("sources"),
+            F.collect_set("condition").alias("_conds"),
+            F.collect_set("src").alias("_srcs"),
+        )
+    )
+    g = (
+        partial.groupBy("name")
+        .agg(
+            F.slice(
+                F.array_sort(
+                    F.array_distinct(F.flatten(F.collect_list("_conds")))
+                ),
+                1,
+                10_000,
+            ).alias("conditions"),
+            F.slice(
+                F.array_sort(
+                    F.array_distinct(F.flatten(F.collect_list("_srcs")))
+                ),
+                1,
+                10_000,
+            ).alias("sources"),
         )
         .where(F.size("conditions") > 1)
     )

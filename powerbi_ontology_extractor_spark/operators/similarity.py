@@ -81,6 +81,19 @@ def hyperplane_bucket_udf(planes: int = 16, seed: int = 42):
     return bucket
 
 
+def _probe_buckets(
+    query_vec: list[float], planes: int, seed: int, multiprobe: bool
+) -> list[int]:
+    q = np.asarray(query_vec, dtype=float)
+    m = _plane_matrix(q.shape[0], planes, seed)
+    qbits = (q @ m) >= 0
+    qbucket = int(qbits.dot(1 << np.arange(planes)))
+    probe = [qbucket]
+    if multiprobe:
+        probe += [qbucket ^ (1 << i) for i in range(planes)]
+    return probe
+
+
 def lsh_topk(
     embeddings: DataFrame,
     query_vec: list[float],
@@ -91,20 +104,55 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: score only vectors in the query's hyperplane
-    bucket (plus Hamming-1 neighbor buckets when ``multiprobe``).
-
-    At cluster scale the table is written bucketed by this id, so the
-    probe is a partition-pruned scan instead of a full pass."""
-    q = np.asarray(query_vec, dtype=float)
-    m = _plane_matrix(q.shape[0], planes, seed)
-    qbits = (q @ m) >= 0
-    qbucket = int(qbits.dot(1 << np.arange(planes)))
-    probe = [qbucket]
-    if multiprobe:
-        probe += [qbucket ^ (1 << i) for i in range(planes)]
-
+    """Approximate top-k with the bucket id computed on the fly — the
+    BUILDER path (one full scan).  For repeated queries at scale use
+    :func:`write_bucketed` + :func:`lsh_topk_bucketed`, which probe a
+    partition-pruned layout instead of rescanning."""
+    probe = _probe_buckets(query_vec, planes, seed, multiprobe)
     bucketed = embeddings.withColumn(
         "_bucket", hyperplane_bucket_udf(planes, seed)(F.col(vec_col))
     ).where(F.col("_bucket").isin(probe))
     return brute_force_topk(bucketed, query_vec, k, id_col, vec_col)
+
+
+def write_bucketed(
+    embeddings: DataFrame,
+    path: str,
+    planes: int = 8,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> str:
+    """Materialize the ANN index layout: one parquet partition directory
+    per hyperplane bucket (``bucket=<id>/``).  The bucket UDF runs ONCE
+    at build time; every subsequent probe is a partition-pruned scan of
+    ~(multiprobe+1)/2^planes of the data — the scan never touches
+    non-probed buckets' files.  On a cluster this is the same layout as
+    an Iceberg table partitioned by the bucket id."""
+    (
+        embeddings.withColumn(
+            "bucket", hyperplane_bucket_udf(planes, seed)(F.col(vec_col))
+        )
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(path)
+    )
+    return path
+
+
+def lsh_topk_bucketed(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    planes: int = 8,
+    seed: int = 42,
+    multiprobe: bool = True,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe a :func:`write_bucketed` layout: the ``bucket IN (...)``
+    filter prunes at the partition level (visible as PartitionFilters in
+    the scan node) — no bucket UDF, no full pass."""
+    probe = _probe_buckets(query_vec, planes, seed, multiprobe)
+    df = spark.read.parquet(path).where(F.col("bucket").isin(probe))
+    return brute_force_topk(df, query_vec, k, id_col, vec_col)

@@ -628,10 +628,16 @@ def export_triples(
     roles: list[str] = DEFAULT_ROLES,
     generated_at: str = DEFAULT_GENERATED_AT,
     include_lineage: bool = True,
+    dedup: bool = True,
 ) -> DataFrame:
     """Full OWL export (owl.py:79-112 orchestration): union of all
     families + set dedup.  Matches the reference graph triple-for-triple
-    per (repo, dataset) on the model/ontology families."""
+    per (repo, dataset) on the model/ontology families.
+
+    ``dedup=False`` skips the set-dedup shuffle — for callers (the full
+    pipeline) that union further families and apply ONE global dedup at
+    the end; two full-row dedup shuffles of long URI/literal strings
+    was the flagship job's single biggest exchange."""
     datasets = model_dfs.get("datasets")
     if datasets is None:
         datasets = datasets_df(model_dfs["models"])
@@ -648,7 +654,7 @@ def export_triples(
     if include_lineage:
         fams.append(lineage_triples(ontology_dfs["parsed_measures"]))
     union = reduce(lambda a, b: a.unionByName(b), fams)
-    return union.dropDuplicates(TRIPLE_COLS)
+    return union.dropDuplicates(TRIPLE_COLS) if dedup else union
 
 
 def export_summary(triples: DataFrame) -> DataFrame:

@@ -59,7 +59,7 @@ def build_triples(
     # (measured 6x wall-clock at local[32])
     model_dfs = extract_all(corpus, materialize=True)
     onto_dfs = generate_ontology(model_dfs, materialize=True)
-    triples = export_triples(onto_dfs, model_dfs, roles, generated_at)
+    triples = export_triples(onto_dfs, model_dfs, roles, generated_at, dedup=False)
     triples = triples.unionByName(_constraint_triples(corpus, onto_dfs))
     if include_latent_surfaces:
         triples = triples.unionByName(
@@ -88,7 +88,7 @@ def build_triples_canonicalized(
 
     model_dfs = extract_all(corpus, materialize=True)
     onto_dfs = generate_ontology(model_dfs, materialize=True)
-    triples = export_triples(onto_dfs, model_dfs, roles, generated_at)
+    triples = export_triples(onto_dfs, model_dfs, roles, generated_at, dedup=False)
     triples = (
         triples.unionByName(_constraint_triples(corpus, onto_dfs))
         .unionByName(m_datasource_triples(corpus, model_dfs["datasets"]))

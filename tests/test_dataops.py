@@ -234,3 +234,23 @@ def test_docs_scale_smoke(docs):
     feats = TX.quality_score(TX.quality_features(docs))
     assert feats.count() == n
     assert DD.exact_dedup(docs).count() <= n
+
+
+def test_lsh_bucketed_layout_matches_and_prunes(spark, embeddings, tmp_path):
+    """The materialized bucket layout must (a) return exactly what the
+    on-the-fly lsh_topk returns and (b) probe via partition pruning —
+    the scan node lists the bucket IN filter as a PartitionFilter, so
+    non-probed buckets' files are never read."""
+    path = str(tmp_path / "ann_idx")
+    SIM.write_bucketed(embeddings, path, planes=4)
+    q = embeddings.where(F.col("vec_id") == 0).first()["embedding"]
+    fly = SIM.lsh_topk(embeddings, list(q), k=10, planes=4).collect()
+    idx = SIM.lsh_topk_bucketed(spark, path, list(q), k=10, planes=4).collect()
+    assert [(r["vec_id"], r["cosine"]) for r in fly] == [
+        (r["vec_id"], r["cosine"]) for r in idx
+    ]
+
+    probe = SIM._probe_buckets(list(q), 4, 42, True)
+    df = spark.read.parquet(path).where(F.col("bucket").isin(probe))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan
