@@ -35,8 +35,28 @@ def main() -> None:
         minhash_near_duplicates,
     )
 
-    spark = get_spark(app_name="pbi-kg-bench", parallelism=cpus)
+    spark = get_spark(
+        app_name="pbi-kg-bench",
+        parallelism=cpus,
+        # UI on: the REST API is how shuffle-write bytes are measured
+        extra_conf={"spark.ui.enabled": "true", "spark.ui.port": "4055"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
+
+    def shuffle_write_mb() -> float | None:
+        """Total shuffle-write MB so far (Spark UI REST)."""
+        import urllib.request
+
+        try:
+            app_id = spark.sparkContext.applicationId
+            url = (
+                f"http://localhost:4055/api/v1/applications/{app_id}"
+                "/stages?status=complete"
+            )
+            stages = json.loads(urllib.request.urlopen(url, timeout=10).read())
+            return sum(s.get("shuffleWriteBytes", 0) for s in stages) / 1e6
+        except Exception:
+            return None
 
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}
@@ -57,12 +77,17 @@ def main() -> None:
         spark, n_repos=kg_repos, num_partitions=max(cpus, 8)
     ).persist()
     corpus.count()  # materialize synthesis outside the timed window
+    sw0 = shuffle_write_mb()
     n_triples = timed("kg_build_triples", lambda: build_triples(corpus).count())
+    sw1 = shuffle_write_mb()
+    if sw0 is not None and sw1 is not None:
+        extras["kg_shuffle_write_mb"] = round(sw1 - sw0, 1)
     extras["kg_triples"] = n_triples
     extras["kg_repos"] = kg_repos
     extras["kg_triples_per_sec"] = round(n_triples / timings["kg_build_triples"], 1)
+    n_artifacts = corpus.count()
     extras["kg_artifacts_per_sec"] = round(
-        (kg_repos * 13) / timings["kg_build_triples"], 1
+        n_artifacts / timings["kg_build_triples"], 1
     )
 
     # 2. relational headline queries from the driver contract

@@ -61,3 +61,64 @@ def test_mermaid():
     assert m.startswith("graph TD")
     assert 'Ship[("Ship")]' in m
     assert "Ship -->|belongs_to| Cust" in m
+
+
+def test_html_debt_report():
+    from powerbi_ontology_extractor_spark.functions.reports import (
+        html_debt_report,
+    )
+
+    html = html_debt_report(
+        conflicts=[{
+            "concept": "total sales", "severity": "HIGH",
+            "dashboard1": "r1/D1", "definition1": "SUM(A[X])",
+            "dashboard2": "r2/D2", "definition2": "SUM(B[Y])",
+            "description": "'total sales' defined differently",
+        }],
+        duplications=[{
+            "measure_name": "KPI", "dashboards": ["r1/D1", "r2/D2"],
+            "dax_formula": "SUM(A[X])", "description": "dup",
+        }],
+        debt={"total_cost": 60000.0, "total_conflicts": 1,
+              "total_duplications": 1},
+        canonical_defs=[{
+            "name": "kpi", "suggested_definition": "sum(a[x])",
+            "confidence": 2 / 3, "dashboards_using": ["r1/D1", "r2/D2"],
+        }],
+    )
+    # analyzer.py:343-420 layout parity markers
+    assert "<title>Semantic Debt Analysis Report</title>" in html
+    assert "$60,000" in html
+    assert 'class="conflict"' in html and "total sales" in html
+    assert 'class="duplication"' in html and "r1/D1, r2/D2" in html
+    assert "<td>67%</td>" in html
+    assert "Conflicts Detected (1)" in html
+
+
+def test_graph_figure_spec_and_png_gate(tmp_path):
+    from powerbi_ontology_extractor_spark.functions.reports import (
+        graph_figure_spec,
+        render_png,
+    )
+    import pytest as _pytest
+
+    nodes = [
+        {"node": "ont:A", "node_type": "owl:Class"},
+        {"node": "ont:B", "node_type": None},
+        {"node": "ont:C", "node_type": "owl:ObjectProperty"},
+    ]
+    edges = [
+        {"src": "ont:A", "rel": "ont:has", "dst": "ont:B"},
+        {"src": "ont:A", "rel": "rdf:type", "dst": "ont:Z"},  # Z pruned
+    ]
+    spec = graph_figure_spec(nodes, edges, max_nodes=2)
+    assert spec["truncated"] and spec["n_nodes_total"] == 3
+    assert [n["id"] for n in spec["nodes"]] == ["ont:A", "ont:B"]
+    assert spec["nodes"][0]["color"] == "#4CAF50"
+    assert spec["edges"] == [
+        {"source": "ont:A", "target": "ont:B", "label": "has"}
+    ]
+    # deterministic layout
+    assert spec == graph_figure_spec(nodes, edges, max_nodes=2)
+    with _pytest.raises(NotImplementedError):
+        render_png(spec, str(tmp_path / "g.png"))
