@@ -254,3 +254,42 @@ def test_lsh_bucketed_layout_matches_and_prunes(spark, embeddings, tmp_path):
     df = spark.read.parquet(path).where(F.col("bucket").isin(probe))
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "bucket" in plan
+
+
+def test_embedding_near_dup_banded_recall(spark):
+    """Banded hyperplane LSH must achieve (near-)exact recall vs the
+    brute-force truth at cosine ≥ 0.9 — the single-wide-signature
+    design caught only ~a fifth of moderate-angle true pairs."""
+    import numpy as _np
+
+    rng = _np.random.RandomState(7)
+    base = rng.normal(size=(30, 32))
+    rows = []
+    vid = 0
+    for i in range(30):
+        v = base[i] / _np.linalg.norm(base[i])
+        rows.append((vid, v.tolist())); vid += 1
+        # planted near-dup at cosine ~0.93-0.98
+        nd = v + rng.normal(scale=0.05, size=32)
+        nd = nd / _np.linalg.norm(nd)
+        rows.append((vid, nd.tolist())); vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    # brute-force truth
+    vecs = dict(rows)
+    truth = set()
+    for i in vecs:
+        for j in vecs:
+            if i < j:
+                a, b = _np.array(vecs[i]), _np.array(vecs[j])
+                if float(a @ b) >= 0.9:
+                    truth.add((str(i), str(j)))
+    got = {
+        (r["id1"], r["id2"])
+        for r in DD.embedding_near_duplicates(df, threshold=0.9).collect()
+    }
+    assert truth, "fixture must plant true pairs"
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.95, f"recall {recall:.2f}, missed {sorted(truth - got)[:5]}"
+    # precision is exact by construction (cosine verify)
+    assert got <= truth
