@@ -657,6 +657,67 @@ def export_triples(
     return union.dropDuplicates(TRIPLE_COLS) if dedup else union
 
 
+_PREFIX_BASES = {
+    "rdf:": "http://www.w3.org/1999/02/22-rdf-syntax-ns#",
+    "rdfs:": "http://www.w3.org/2000/01/rdf-schema#",
+    "owl:": "http://www.w3.org/2002/07/owl#",
+    "xsd:": "http://www.w3.org/2001/XMLSchema#",
+}
+
+
+def ntriples_lines(
+    triples: DataFrame,
+    base_uri_prefix: str = "http://example.com/ontologies/",
+) -> DataFrame:
+    """T14 serialize: one N-Triples line per triple (owl.py:79-112's
+    ``serialize``; rdflib's format choice collapses to line rendering
+    once the graph IS the table).  The ``ont:`` namespace expands
+    per-dataset (the reference's per-ontology base URI); bnode subjects
+    pass through.  Narrow map — a distributed ``.write.text`` sink."""
+
+    def expand(col: Column) -> Column:
+        ont_base = F.concat(
+            F.lit(base_uri_prefix), safe_name(F.col("dataset")), F.lit("#")
+        )
+        out = F.when(
+            col.startswith("_:"), col
+        ).when(
+            col.startswith("ont:"),
+            F.concat(F.lit("<"), ont_base, F.substring(col, 5, 1 << 20), F.lit(">")),
+        )
+        for p, base in _PREFIX_BASES.items():
+            out = out.when(
+                col.startswith(p),
+                F.concat(
+                    F.lit("<" + base),
+                    F.substring(col, len(p) + 1, 1 << 20),
+                    F.lit(">"),
+                ),
+            )
+        return out.otherwise(F.concat(F.lit("<"), col, F.lit(">")))
+
+    lit_escaped = F.regexp_replace(
+        F.regexp_replace(F.col("obj"), r"\\", r"\\\\"), '"', '\\"'
+    )
+    obj = F.when(
+        F.col("obj_is_literal"),
+        F.when(
+            F.col("obj_datatype") != "",
+            F.concat(
+                F.lit('"'), lit_escaped, F.lit('"^^'),
+                expand(F.col("obj_datatype")),
+            ),
+        ).otherwise(F.concat(F.lit('"'), lit_escaped, F.lit('"'))),
+    ).otherwise(expand(F.col("obj")))
+    return triples.select(
+        "repo",
+        "dataset",
+        F.concat_ws(
+            " ", expand(F.col("subj")), expand(F.col("pred")), obj, F.lit(".")
+        ).alias("ntriple"),
+    )
+
+
 def export_summary(triples: DataFrame) -> DataFrame:
     """owl.py:513-548 — per-dataset counts: total triples, classes,
     datatype/object properties, action-rule instances."""

@@ -230,3 +230,30 @@ def test_dax_sanitization_in_condition(spark):
     t = build_triples(corpus)
     cond = t.where(F.col("pred") == "ont:condition").first()
     assert ";" not in cond["obj"] and "\x00" not in cond["obj"]
+
+
+def test_ntriples_serialization(mini_triples):
+    from powerbi_ontology_extractor_spark.operators.triples import (
+        ntriples_lines,
+    )
+
+    lines = {r["ntriple"] for r in ntriples_lines(mini_triples).collect()}
+    assert len(lines) == mini_triples.count()
+    assert (
+        "<http://example.com/ontologies/Mini#Ship> "
+        "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type> "
+        "<http://www.w3.org/2002/07/owl#Class> ." in lines
+    )
+    # literal with datatype
+    assert any(
+        '"1"^^<http://www.w3.org/2001/XMLSchema#nonNegativeInteger>' in l
+        for l in lines
+    )
+    # bnode subjects pass through; every line terminates with " ."
+    assert any(l.startswith("_:r_") for l in lines)
+    assert all(l.endswith(" .") for l in lines)
+    # plain literal
+    assert (
+        '<http://example.com/ontologies/Mini#Ship> '
+        '<http://www.w3.org/2000/01/rdf-schema#label> "Ship" .' in lines
+    )
