@@ -65,7 +65,13 @@ spark.stop()
 
 
 def _ensure_corpus(n_repos: int, partitions: int) -> str:
-    path = f"/tmp/pbi_kg_scaling_corpus_{n_repos}_{partitions}"
+    # partitioned by lang: the pipeline scans the corpus once per
+    # artifact kind (model/dax/m/report/sidecar), and lang rows
+    # interleave per repo — without the partition, every `lang =`
+    # filter re-reads the whole content column.  This is the cluster
+    # layout read_corpus documents (Iceberg partition/metadata pruning
+    # on lang).
+    path = f"/tmp/pbi_kg_scaling_corpus_bylang_{n_repos}_{partitions}"
     if os.path.exists(os.path.join(path, "_SUCCESS")):
         return path
     script = (
@@ -75,7 +81,8 @@ def _ensure_corpus(n_repos: int, partitions: int) -> str:
         "spark = get_spark(parallelism=8)\n"
         "spark.sparkContext.setLogLevel('ERROR')\n"
         "corpus_df(spark, n_repos=%d, num_partitions=%d)"
-        ".write.mode('overwrite').parquet(%r)\n" % (REPO, n_repos, partitions, path)
+        ".write.mode('overwrite').partitionBy('lang').parquet(%r)\n"
+        % (REPO, n_repos, partitions, path)
     )
     subprocess.run([sys.executable, "-c", script], check=True, cwd=REPO,
                    capture_output=True)

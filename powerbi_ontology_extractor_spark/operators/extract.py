@@ -451,11 +451,21 @@ def extract_all(corpus: DataFrame, materialize: bool = False) -> dict[str, DataF
         ),
     }
     if materialize:
-        # only the frames that are expensive to recompute or consumed by
-        # the concurrent UDF stage get a barrier; the other families are
-        # cheap narrow projections of the models checkpoint, and extra
-        # barriers just add serial job-latency rounds
-        keys = ["measures", "datasets"]
+        # checkpoint the FLAT family frames in ONE concurrent round
+        # (they all derive from the already-materialized models
+        # checkpoint, so the round costs max(job latency), not sum).
+        # Rationale: the ~40-branch triple emission scans its inputs
+        # repeatedly; scanning small flat frames instead of the big
+        # nested models struct cuts the re-read volume ~6× — this box
+        # (and any real executor) is memory-bandwidth-bound on that
+        # re-scan, which is what caps N→4N scaling efficiency.
+        keys = [
+            "measures",
+            "datasets",
+            "properties",
+            "relationships",
+            "security_rules",
+        ]
         out.update(zip(keys, checkpoint_parallel([out[k] for k in keys])))
     return out
 

@@ -355,7 +355,7 @@ def generate_ontology(
     # localCheckpoint, NOT persist: building the columnar cache over the
     # UDF-produced array<struct> column is pathologically slow (~20×);
     # the checkpoint materializes once and cuts the lineage
-    parsed = parse_measures(model_dfs["measures"]).localCheckpoint(eager=True)
+    parsed = parse_measures(model_dfs["measures"])
     patterns = detect_patterns(
         model_dfs["entities"],
         model_dfs["properties"],
@@ -373,7 +373,19 @@ def generate_ontology(
             model_dfs["measures"],
             patterns=patterns,
         )
-    out = {
+    if materialize:
+        # one concurrent barrier round: the UDF-produced parsed_measures
+        # (3 downstream consumers) and the flat entity frame (entity +
+        # CRUD emission both scan it — flat rows beat re-reading the
+        # nested models struct twice)
+        from powerbi_ontology_extractor_spark.operators.extract import (
+            checkpoint_parallel,
+        )
+
+        parsed, onto_entities = checkpoint_parallel([parsed, onto_entities])
+    else:
+        parsed = parsed.localCheckpoint(eager=True)
+    return {
         "parsed_measures": parsed,
         "ontology_entities": onto_entities,
         "ontology_relationships": ontology_relationships_df(
@@ -383,9 +395,3 @@ def generate_ontology(
         "enhancements": suggest_enhancements(model_dfs["properties"]),
         "patterns": patterns,
     }
-    # materialize=True needs no further barriers here: parsed_measures is
-    # already checkpointed (the UDF output), and with the narrow entity
-    # path everything else is a cheap map over the models checkpoint —
-    # extra barriers only add serial job-latency rounds
-    del materialize
-    return out

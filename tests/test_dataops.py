@@ -293,3 +293,28 @@ def test_embedding_near_dup_banded_recall(spark):
     assert recall >= 0.95, f"recall {recall:.2f}, missed {sorted(truth - got)[:5]}"
     # precision is exact by construction (cosine verify)
     assert got <= truth
+
+
+def test_ivf_index_recall_and_pruning(spark, embeddings, tmp_path):
+    """IVF: top-k from the probed inverted lists must contain the true
+    top-k whenever nprobe covers the query's neighborhood; with
+    nprobe = n_centroids it IS exact."""
+    path = str(tmp_path / "ivf_idx")
+    SIM.ivf_build(embeddings, path, n_centroids=8, train_sample=500)
+    q = embeddings.where(F.col("vec_id") == 0).first()["embedding"]
+    exact = [r["vec_id"] for r in SIM.brute_force_topk(embeddings, list(q), k=5).collect()]
+    full = [r["vec_id"]
+            for r in SIM.ivf_topk(spark, path, list(q), k=5, nprobe=8).collect()]
+    assert full == exact  # all lists probed == brute force
+    probed = {r["vec_id"]
+              for r in SIM.ivf_topk(spark, path, list(q), k=5, nprobe=2).collect()}
+    assert 0 in probed  # the query vector's own list is always probed
+    # partition pruning visible in the plan
+    import json as _json, os as _os
+    import numpy as _np
+    cents = _np.array(_json.load(open(_os.path.join(path, "_centroids.json"))))
+    qv = _np.asarray(list(q)); qv = qv / _np.linalg.norm(qv)
+    probe = [int(i) for i in _np.argsort(-(cents @ qv))[:2]]
+    df = spark.read.parquet(path).where(F.col("centroid").isin(probe))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "centroid" in plan
