@@ -147,6 +147,104 @@ def _load_patched_dax_parser() -> None:
     exec(compile(src, path, "exec"), mod.__dict__)
 
 
+def install_stub_cli_deps() -> None:
+    """Minimal click/rich stand-ins so powerbi_ontology.cli imports —
+    only the decorator/constructor surface cli.py touches at module
+    scope; commands are never invoked."""
+    if "click" not in sys.modules:
+        click = types.ModuleType("click")
+
+        class _Group:
+            def __init__(self, fn):
+                self.fn = fn
+
+            def command(self, *a, **k):
+                return lambda f: f
+
+            def group(self, *a, **k):
+                return lambda f: _Group(f)
+
+        click.group = lambda *a, **k: (lambda f: _Group(f))
+        click.command = lambda *a, **k: (lambda f: f)
+        click.option = lambda *a, **k: (lambda f: f)
+        click.argument = lambda *a, **k: (lambda f: f)
+        click.version_option = lambda *a, **k: (lambda f: f)
+        click.pass_context = lambda f: f
+        click.Choice = lambda *a, **k: None
+        click.Path = lambda *a, **k: None
+        click.Abort = type("Abort", (Exception,), {})
+        sys.modules["click"] = click
+    if "rich" not in sys.modules:
+        rich = types.ModuleType("rich")
+
+        class _Any:
+            def __init__(self, *a, **k):
+                pass
+
+            def __call__(self, *a, **k):
+                return self
+
+            def __getattr__(self, name):
+                return _Any()
+
+        for sub in ["console", "progress", "table", "panel"]:
+            m = types.ModuleType(f"rich.{sub}")
+            for cls in [
+                "Console", "Progress", "SpinnerColumn", "TextColumn",
+                "BarColumn", "TaskProgressColumn", "Table", "Panel",
+            ]:
+                setattr(m, cls, _Any)
+            sys.modules[f"rich.{sub}"] = m
+            setattr(rich, sub, m)
+        sys.modules["rich"] = rich
+
+
+def reference_triples_from_ontology_doc(data: dict) -> tuple[set, str]:
+    """Drive the reference's import path: cli._dict_to_ontology →
+    OWLExporter — the golden for the engine's ontology_doc loader."""
+    import_reference()
+    install_stub_cli_deps()
+    from powerbi_ontology.cli import _dict_to_ontology
+    from powerbi_ontology.export.owl import OWLExporter
+
+    ontology = _dict_to_ontology(data)
+    exporter = OWLExporter(ontology)
+    exporter.export(format="xml")
+    return _normalize_graph(exporter), ontology.name
+
+
+def _normalize_graph(exporter) -> set:
+    base = exporter.base_uri
+    onto_node = base.rstrip("#")
+    safe_onto = (
+        exporter.ontology.name.replace(" ", "_").replace("-", "_").replace(".", "_")
+    )
+    prefixes = [
+        (base, "ont:"),
+        (RDF_NS, "rdf:"),
+        (RDFS_NS, "rdfs:"),
+        (OWL_NS, "owl:"),
+        (XSD_NS, "xsd:"),
+    ]
+
+    def norm(node):
+        if isinstance(node, BNode):
+            return node
+        if isinstance(node, Literal):
+            return str(node)
+        s = str(node)
+        if s == onto_node:
+            return "ont:" + safe_onto
+        for ns, p in prefixes:
+            if s.startswith(ns):
+                return p + s[len(ns):]
+        return s
+
+    return canonicalize_bnodes(
+        [(norm(s), norm(p), norm(o)) for (s, p, o) in exporter.graph]
+    )
+
+
 def import_reference():
     """Returns (powerbi_ontology package, OWLExporter class)."""
     install_stub_rdflib()
@@ -179,35 +277,7 @@ def reference_triples(model_data: dict, pbix_path: str) -> tuple[set, str]:
     exporter = OWLExporter(ontology)
     exporter.add_rls_rules(model.security_rules)
     exporter.export(format="xml")
-
-    base = exporter.base_uri  # ".../<safe(name)>#"
-    onto_node = base.rstrip("#")
-    safe_onto = (
-        ontology.name.replace(" ", "_").replace("-", "_").replace(".", "_")
-    )
-    prefixes = [
-        (base, "ont:"),
-        (RDF_NS, "rdf:"),
-        (RDFS_NS, "rdfs:"),
-        (OWL_NS, "owl:"),
-        (XSD_NS, "xsd:"),
-    ]
-
-    def norm(node):
-        if isinstance(node, BNode):
-            return node  # canonicalized below
-        if isinstance(node, Literal):
-            return str(node)
-        s = str(node)
-        if s == onto_node:
-            return "ont:" + safe_onto
-        for ns, p in prefixes:
-            if s.startswith(ns):
-                return p + s[len(ns):]
-        return s
-
-    raw = [(norm(s), norm(p), norm(o)) for (s, p, o) in exporter.graph]
-    return canonicalize_bnodes(raw), ontology.name
+    return _normalize_graph(exporter), ontology.name
 
 
 def canonicalize_bnodes(triples) -> set:
