@@ -159,20 +159,33 @@ def ontology_entities_from_models(models: DataFrame) -> DataFrame:
     INSIDE the model row's own arrays, so the whole computation is one
     narrow map over the parsed models — no groupBys, no joins.
 
-    Semantics identical to :func:`ontology_entities_df` /
-    ontology_generator.py:258-312 (verified by the shared golden tests);
-    the join-based variant remains for callers that only have flattened
-    family tables.
+    Exact reference semantics, including two duplicate-table-name
+    quirks the fuzz-parity suite caught (ontology_generator.py):
+    - the fact detector's measure_count is NAME-GLOBAL (`measure.table
+      == entity.name` over the whole model's measure list, :299-303);
+    - `_apply_patterns` (:400-406) finds the FIRST entity with the
+      pattern's name, so for duplicate names the first instance ends at
+      the LAST-fired pattern across ALL instances (patterns append
+      date_table→dimension→fact per instance, in table order) and the
+      later instances keep the base classification (:368-374).
+    The join-based :func:`ontology_entities_df` keeps the simpler
+    precedence semantics for callers with only flat frames (identical
+    whenever table names are unique within a model).
     """
+    tables_arr = F.coalesce(F.col("model.tables"), F.array())
     t = models.select(
         "repo",
         "dataset",
         F.coalesce(F.col("model.relationships"), F.array()).alias("rels"),
-        F.explode(F.coalesce(F.col("model.tables"), F.array())).alias("t"),
+        tables_arr.alias("tables"),
+        F.posexplode(tables_arr).alias("pos", "t"),
     )
     name = F.coalesce(F.col("t.name"), F.lit("Unknown"))
     cols = F.coalesce(F.col("t.columns"), F.array())
-    measures = F.coalesce(F.col("t.measures"), F.array())
+
+    def tname(x):
+        return F.coalesce(x["name"], F.lit("Unknown"))
+
     # reference counts relationship ROWS matching (from==e OR to==e),
     # so a self-loop contributes once (ontology_generator.py:287-290)
     degree = F.size(
@@ -189,19 +202,46 @@ def ontology_entities_from_models(models: DataFrame) -> DataFrame:
         | F.lower(F.coalesce(c["name"], F.lit(""))).contains("quarter")
         | F.lower(F.coalesce(c["name"], F.lit(""))).contains("week")
     )
-    has_date_cols = F.exists(cols, date_kw)
     n_props = F.size(cols)
-    measure_count = F.size(measures)
-    is_fact = (measure_count > 0) & (degree <= 3)
-    is_dim = (degree >= 3) & (n_props < 20)
-    is_date_table = _name_is_datey(name) & has_date_cols
-    entity_type = (
-        F.when(is_fact, "fact")
-        .when(is_dim, "dimension")
-        .when(is_date_table, "date_table")
-        .when(_name_is_datey(name), "date")
-        .otherwise("standard")
+    # indices of every instance sharing this row's name, in table order
+    same_idx = F.filter(
+        F.sequence(F.lit(0), F.size(F.col("tables")) - 1),
+        lambda i: tname(F.try_element_at(F.col("tables"), i + 1)) == name,
     )
+    first_pos = F.try_element_at(same_idx, F.lit(1))
+    # name-global measure count (sums across duplicate instances)
+    global_mc = F.aggregate(
+        same_idx,
+        F.lit(0),
+        lambda acc, i: acc
+        + F.size(
+            F.coalesce(
+                F.try_element_at(F.col("tables"), i + 1)["measures"], F.array()
+            )
+        ),
+    )
+
+    def fired(i):
+        """Per-instance LAST-fired pattern (append order date_table →
+        dimension → fact, so fact wins within an instance)."""
+        inst = F.try_element_at(F.col("tables"), i + 1)
+        icols = F.coalesce(inst["columns"], F.array())
+        return (
+            F.when((global_mc > 0) & (degree <= 3), "fact")
+            .when((degree >= 3) & (F.size(icols) < 20), "dimension")
+            .when(
+                _name_is_datey(name) & F.exists(icols, date_kw), "date_table"
+            )
+        )
+
+    fired_list = F.filter(
+        F.transform(same_idx, fired), lambda x: x.isNotNull()
+    )
+    chosen = F.try_element_at(fired_list, F.lit(-1))  # last-fired overall
+    base = F.when(_name_is_datey(name), "date").otherwise("standard")
+    entity_type = F.when(
+        F.col("pos") == first_pos, F.coalesce(chosen, base)
+    ).otherwise(base)
     key_cols = F.filter(
         cols,
         lambda c: F.coalesce(c["isKey"], F.lit(False))
