@@ -120,3 +120,91 @@ def test_exact_parity_with_reference_import_path(engine_set):
         f"missing: {sorted(ref - engine_set)[:20]}\n"
         f"extra: {sorted(engine_set - ref)[:20]}"
     )
+
+
+def _random_doc(seed: int) -> dict:
+    import random
+
+    rng = random.Random(seed)
+    name = lambda lo=1, hi=10: ("".join(
+        rng.choice("ABk xy09._-") for _ in range(rng.randint(lo, hi))
+    ).strip() or "N")
+
+    def constraint():
+        kind = rng.choice(["range", "regex", "enum", "reference", "custom"])
+        if kind == "range":
+            lo = rng.randint(0, 50)
+            value = {"min": lo, "max": lo + rng.randint(1, 100)}
+            if rng.random() < 0.3:
+                value = {"min": lo}  # partial range
+        elif kind == "regex":
+            value = rng.choice([r"^x+$", {"pattern": r"^[0-9]+$"}])
+        elif kind == "enum":
+            value = [name(1, 5) for _ in range(rng.randint(1, 3))]
+        else:
+            value = name(1, 8)
+        c = {"type": kind, "value": value}
+        if rng.random() < 0.5:
+            c["message"] = name(0, 12)
+        return c
+
+    entities = []
+    for _ in range(rng.randint(0, 3)):
+        props = []
+        for _ in range(rng.randint(0, 4)):
+            props.append({
+                "name": name(),
+                "data_type": rng.choice(
+                    ["String", "Integer", "Decimal", "Date", "Boolean", "Odd"]),
+                "required": rng.random() < 0.4,
+                "unique": rng.random() < 0.3,
+                "description": name(0, 8) if rng.random() < 0.5 else "",
+                "constraints": [constraint() for _ in range(rng.randint(0, 2))],
+            })
+        entities.append({
+            "name": name(),
+            "description": name(0, 8) if rng.random() < 0.5 else "",
+            "entity_type": rng.choice(["standard", "fact", "dimension", ""]),
+            "properties": props,
+            "constraints": [],
+        })
+    rels = [
+        {"from_entity": name(), "to_entity": name(),
+         "from_property": name(), "to_property": name(),
+         "relationship_type": rng.choice(["has", "belongs_to", ""]),
+         "cardinality": rng.choice(["one-to-many", "many-to-one", ""]),
+         "description": name(0, 8) if rng.random() < 0.5 else ""}
+        for _ in range(rng.randint(0, 2))
+    ]
+    rules = [
+        {"name": name(), "entity": name() if rng.random() < 0.7 else "",
+         "condition": f"{name(1,4)} > {rng.randint(1, 99)}",
+         "action": rng.choice(["filter", "classify_as_hi", ""]),
+         "classification": rng.choice(["High", "low", ""]),
+         "description": name(0, 8) if rng.random() < 0.5 else "",
+         "priority": rng.randint(1, 5)}
+        for _ in range(rng.randint(0, 2))
+    ]
+    return {
+        "name": name(), "version": rng.choice(["1.0", "3.2.1", ""]),
+        "source": name(0, 12),
+        "entities": entities, "relationships": rels,
+        "business_rules": rules,
+        "metadata": {name(1, 6): name(0, 8)
+                     for _ in range(rng.randint(0, 2))},
+    }
+
+
+@pytest.mark.parametrize("seed", [5, 15, 25, 35, 45, 55])
+def test_fuzzed_doc_parity(spark, seed):
+    doc = _random_doc(seed)
+    ref, _ = reference_triples_from_ontology_doc(doc)
+    t = OI.ontology_doc_triples(_corpus(spark, doc))
+    eng = canonicalize_bnodes(
+        {(r["subj"], r["pred"], r["obj"])
+         for r in t.select("subj", "pred", "obj").collect()}
+    )
+    assert ref == eng, (
+        f"seed={seed} doc={json.dumps(doc)[:400]}\n"
+        f"missing: {sorted(ref - eng)[:12]}\nextra: {sorted(eng - ref)[:12]}"
+    )
