@@ -132,7 +132,9 @@ def _kg_canonical_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from powerbi_ontology_extractor_spark.operators.extract import extract_all
 
-    dfs = extract_all(_corpus(spark))
+    # materialize=True: the LSH/scoring DAG fans out — without the
+    # checkpoint barrier the corpus is re-scanned 17× (PLANS.md r2)
+    dfs = extract_all(_corpus(spark), materialize=True)
     m = entity_canonical_mapping(dfs["entities"], dfs["properties"])
     return (
         m.groupBy("canonical_iri")
@@ -180,7 +182,9 @@ def _kg_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from powerbi_ontology_extractor_spark.operators.extract import extract_all
 
-    dfs = extract_all(_corpus(spark))
+    # materialize=True: drift's binding/actual/anti-join DAG re-scanned
+    # the corpus 18× without the barrier (PLANS.md r2)
+    dfs = extract_all(_corpus(spark), materialize=True)
     keys = ("repo", "dataset")
     bindings = create_bindings(dfs["properties"], keys=keys)
     # live catalog: drop one column + retype another (deterministic drift)
@@ -330,9 +334,12 @@ def _q_supplier_pairs_same_nation(spark, sf_dir):
 
 
 def _q_customers_without_orders(spark, sf_dir):
-    """Anti join (drift missing-column shape)."""
+    """Anti join (drift missing-column shape): customers with no
+    finished ('F') order.  The plain no-order anti-join is vacuous on
+    this synthetic data (every customer has an order), so the filter
+    makes the result non-empty — a broken anti-join can't pass."""
     c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
     return (
         c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti")
         .select("c_custkey", "c_name")
@@ -491,13 +498,20 @@ def _q_events_filter_pushdown(spark, sf_dir):
 
 
 def _q_docs_exact_dup_groups(spark, sf_dir):
+    """The synthetic documents have no byte-identical pairs, so the
+    input is the table unioned with a deterministic 10% re-inserted
+    under shifted ids — every 10th doc becomes a genuine exact-dup
+    group and the hash-groupBy has to find them all (non-vacuous)."""
     from powerbi_ontology_extractor_spark.operators.dedup import (
         exact_duplicate_groups,
     )
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    reinserted = d.where(F.col("doc_id") % 10 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
     return (
-        exact_duplicate_groups(d)
+        exact_duplicate_groups(d.unionByName(reinserted))
         .select("content_hash", F.col("n_docs").cast("bigint").alias("n_docs"))
         .orderBy("content_hash")
     )
@@ -516,41 +530,49 @@ def _q_docs_token_counts(spark, sf_dir):
 
 
 def _q_docs_quality(spark, sf_dir):
-    """Quality-feature shape, rounded per-row (FP-order-free)."""
+    """Quality features via the operator under test
+    (operators/text.py::quality_features) — if the operator regresses,
+    this oracle fails.  Per-row rounding keeps it FP-order-free."""
+    from powerbi_ontology_extractor_spark.operators.text import (
+        quality_features,
+    )
+
     d = _t(spark, sf_dir, "documents")
-    t = F.col("text")
-    n_chars = F.length(t)
-    n_punct = n_chars - F.length(F.regexp_replace(t, r"[!-/:-@\[-`{-~]", ""))
-    return d.select(
+    return quality_features(d).select(
         "doc_id",
-        n_chars.cast("bigint").alias("n_chars"),
-        F.when(n_chars == 0, F.lit(0.0))
-        .otherwise(F.round(n_punct.cast("double") / n_chars, 6))
-        .alias("punct_ratio"),
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.round(F.col("punct_ratio"), 6).alias("punct_ratio"),
+        F.round(F.col("digit_ratio"), 6).alias("digit_ratio"),
+        F.round(F.col("upper_ratio"), 6).alias("upper_ratio"),
     ).orderBy("doc_id")
 
 
 def _q_docs_stopword_ratio(spark, sf_dir):
+    """Stopword ratio via operators/text.py::quality_features (bound to
+    the operator, not a reimplementation)."""
+    from powerbi_ontology_extractor_spark.operators.text import (
+        quality_features,
+    )
+
     d = _t(spark, sf_dir, "documents")
-    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
-    stop = F.size(F.filter(toks, lambda x: x.isin(["the", "a", "of", "and"])))
-    return d.select(
+    return quality_features(d).select(
         "doc_id",
-        F.when(F.size(toks) == 0, F.lit(0.0))
-        .otherwise(F.round(stop.cast("double") / F.size(toks), 6))
-        .alias("stopword_ratio"),
+        F.round(F.col("stopword_ratio"), 6).alias("stopword_ratio"),
     ).orderBy("doc_id")
 
 
 def _q_docs_lang_distribution(spark, sf_dir):
+    """Language-ID distribution via operators/text.py::language_id —
+    the heuristic n-gram classifier actually runs in the plan; DuckDB
+    recomputes the same argmax grammar independently."""
+    from powerbi_ontology_extractor_spark.operators.text import language_id
+
     d = _t(spark, sf_dir, "documents")
     return (
-        d.groupBy("lang")
-        .agg(
-            F.count("*").cast("bigint").alias("n_docs"),
-            F.avg("n_chars").cast("double").alias("avg_chars"),
-        )
-        .orderBy("lang")
+        d.select(language_id(F.col("text")).alias("pred_lang"))
+        .groupBy("pred_lang")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+        .orderBy("pred_lang")
     )
 
 
@@ -664,6 +686,63 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+def _toks_sql() -> str:
+    """DuckDB equivalent of text.py::tokens_col."""
+    return (
+        "CASE WHEN trim(lower(text)) = '' THEN [] "
+        "ELSE string_split_regex(trim(lower(text)), '\\s+') END"
+    )
+
+
+def _stopword_ratio_sql() -> str:
+    """Rendered from text.py::EN_STOPWORDS — single source of truth."""
+    from powerbi_ontology_extractor_spark.operators.text import EN_STOPWORDS
+
+    words = ",".join(f"'{w}'" for w in EN_STOPWORDS)
+    return f"""
+        SELECT doc_id,
+               CASE WHEN len(toks) = 0 THEN 0.0
+                    ELSE ROUND(CAST(len(list_filter(toks,
+                         x -> x IN ({words}))) AS DOUBLE) / len(toks), 6)
+               END AS stopword_ratio
+        FROM (SELECT doc_id, {_toks_sql()} AS toks FROM documents)
+        ORDER BY doc_id
+    """
+
+
+def _lang_distribution_sql() -> str:
+    """DuckDB re-implementation of text.py::language_id (stopword
+    hit-rate argmax, first-language tie-break, 0.05 floor), rendered
+    from the operator's own LANG_PROFILES."""
+    from powerbi_ontology_extractor_spark.operators.text import LANG_PROFILES
+
+    score_cols = []
+    for lang, words in LANG_PROFILES.items():
+        ws = ",".join(f"'{w}'" for w in words)
+        score_cols.append(
+            f"CASE WHEN len(toks) = 0 THEN 0.0 ELSE "
+            f"CAST(len(list_filter(toks, x -> x IN ({ws}))) AS DOUBLE) "
+            f"/ len(toks) END AS s_{lang}"
+        )
+    langs = list(LANG_PROFILES)
+    best = "greatest(" + ", ".join(f"s_{l}" for l in langs) + ")"
+    # Spark builds the when-chain reversed, so the FIRST profile wins
+    # ties — CASE order below must match LANG_PROFILES order
+    whens = "\n                ".join(
+        f"WHEN s_{l} = best AND best >= 0.05 THEN '{l}'" for l in langs
+    )
+    return f"""
+        SELECT pred_lang, CAST(count(*) AS BIGINT) AS n_docs
+        FROM (
+            SELECT CASE {whens}
+                   ELSE 'unknown' END AS pred_lang
+            FROM (SELECT *, {best} AS best
+                  FROM (SELECT {", ".join(score_cols)}
+                        FROM (SELECT {_toks_sql()} AS toks FROM documents))))
+        GROUP BY pred_lang ORDER BY pred_lang
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     import kg_oracles
 
@@ -748,7 +827,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_customers_without_orders": """
             SELECT c_custkey, c_name FROM customer
-            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+            WHERE c_custkey NOT IN (
+                SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
             ORDER BY c_custkey
         """,
         "q_customers_with_orders": """
@@ -820,8 +900,13 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY event_id
         """,
         "q_docs_exact_dup_groups": """
+            WITH d AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 1000000, text FROM documents
+                WHERE doc_id % 10 = 0)
             SELECT md5(text) AS content_hash, CAST(COUNT(*) AS BIGINT) AS n_docs
-            FROM documents GROUP BY md5(text) HAVING COUNT(*) > 1
+            FROM d GROUP BY md5(text) HAVING COUNT(*) > 1
             ORDER BY content_hash
         """,
         "q_docs_token_counts": """
@@ -838,28 +923,21 @@ def oracle_sql() -> dict[str, str]:
                         ELSE ROUND(CAST(length(text) - length(
                             regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g')
                         ) AS DOUBLE) / length(text), 6)
-                   END AS punct_ratio
+                   END AS punct_ratio,
+                   CASE WHEN length(text) = 0 THEN 0.0
+                        ELSE ROUND(CAST(length(text) - length(
+                            regexp_replace(text, '[0-9]', '', 'g')
+                        ) AS DOUBLE) / length(text), 6)
+                   END AS digit_ratio,
+                   CASE WHEN length(text) = 0 THEN 0.0
+                        ELSE ROUND(CAST(length(text) - length(
+                            regexp_replace(text, '[A-Z]', '', 'g')
+                        ) AS DOUBLE) / length(text), 6)
+                   END AS upper_ratio
             FROM documents ORDER BY doc_id
         """,
-        "q_docs_stopword_ratio": """
-            SELECT doc_id,
-                   CASE WHEN len(toks) = 0 THEN 0.0
-                        ELSE ROUND(CAST(len(list_filter(toks,
-                             x -> x IN ('the','a','of','and'))) AS DOUBLE) / len(toks), 6)
-                   END AS stopword_ratio
-            FROM (
-                SELECT doc_id,
-                       CASE WHEN trim(lower(text)) = '' THEN []
-                            ELSE string_split_regex(trim(lower(text)), '\\s+')
-                       END AS toks
-                FROM documents
-            ) ORDER BY doc_id
-        """,
-        "q_docs_lang_distribution": """
-            SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
-                   CAST(AVG(n_chars) AS DOUBLE) AS avg_chars
-            FROM documents GROUP BY lang ORDER BY lang
-        """,
+        "q_docs_stopword_ratio": _stopword_ratio_sql(),
+        "q_docs_lang_distribution": _lang_distribution_sql(),
         "q_docs_ngram_jaccard_adjacent": """
             WITH g AS (
               SELECT doc_id,
