@@ -207,6 +207,128 @@ def _kg_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Diff / merge / contract / OntoGuard queries (F1-F9, C1-C4, T19) over
+# the corpus fixture: two repos of the deterministic corpus differ in
+# the risk column (RiskScore vs ChurnProbability), the conflicting
+# measure definition, and the mega repo's extra measures — so the diffs
+# are non-trivial and the DuckDB oracles recompute them independently.
+
+_DIFF_SRC = "org1/dashboards-1"   # odd repo: ChurnProbability
+_DIFF_TGT = "org2/dashboards-2"   # even mega repo: RiskScore + 98 extra measures
+_MERGE_BASE = "org1/dashboards-1"
+_MERGE_OURS = "org0/dashboards-0"
+_MERGE_THEIRS = "org2/dashboards-2"
+
+
+def _onto_families(spark: SparkSession, repos: list[str]):
+    """Extract + generate ontology families for the given repos; returns
+    a picker repo → family dict in the shape diff_ontologies expects."""
+    from powerbi_ontology_extractor_spark.operators.extract import extract_all
+    from powerbi_ontology_extractor_spark.operators.ontology import (
+        generate_ontology,
+    )
+
+    corpus = _corpus(spark).where(F.col("repo").isin(repos))
+    dfs = extract_all(corpus)
+    onto = generate_ontology(dfs)
+
+    def fam(repo: str) -> dict[str, DataFrame]:
+        pick = lambda df: df.where(F.col("repo") == repo)
+        return {
+            "entities": pick(onto["ontology_entities"]),
+            "properties": pick(dfs["properties"]),
+            "relationships": pick(onto["ontology_relationships"]),
+            "business_rules": pick(onto["business_rules"]),
+        }
+
+    return fam
+
+
+def _kg_diff_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1-F6: full ontology diff between two corpus repos
+    (ontology_diff.py:240-534 semantics as set algebra)."""
+    from powerbi_ontology_extractor_spark.operators.diff import (
+        CHANGE_COLS,
+        diff_ontologies,
+    )
+
+    fam = _onto_families(spark, [_DIFF_SRC, _DIFF_TGT])
+    changes = diff_ontologies(fam(_DIFF_SRC), fam(_DIFF_TGT))
+    return changes.select(
+        *[F.coalesce(F.col(c), F.lit("")).alias(c) for c in CHANGE_COLS]
+    ).orderBy(*CHANGE_COLS)
+
+
+def _kg_merge_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8: three-way merge conflict set (paths changed on both sides,
+    ontology_diff.py:617-618)."""
+    from powerbi_ontology_extractor_spark.operators.diff import (
+        merge_ontologies,
+    )
+
+    fam = _onto_families(spark, [_MERGE_BASE, _MERGE_OURS, _MERGE_THEIRS])
+    _, conflicts = merge_ontologies(
+        fam(_MERGE_BASE), fam(_MERGE_OURS), fam(_MERGE_THEIRS)
+    )
+    return conflicts.select("path", "element_type").orderBy(
+        "path", "element_type"
+    )
+
+
+def _kg_merged_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9: merged business-rule census — ours ∪ theirs' non-conflicting
+    added rules (ontology_diff.py:642-720, ours-priority)."""
+    from powerbi_ontology_extractor_spark.operators.diff import (
+        merge_ontologies,
+    )
+
+    fam = _onto_families(spark, [_MERGE_BASE, _MERGE_OURS, _MERGE_THEIRS])
+    merged, _ = merge_ontologies(
+        fam(_MERGE_BASE), fam(_MERGE_OURS), fam(_MERGE_THEIRS)
+    )
+    return (
+        merged["business_rules"]
+        .groupBy("name")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .orderBy("name")
+    )
+
+
+def _kg_contract_permissions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1-C2: agent read-set per dashboard — entity names ∪ relationship
+    endpoints ∪ measure-dependency tables (contract_builder.py:113-151)."""
+    from powerbi_ontology_extractor_spark.operators.contracts import (
+        permissions_from_dashboard,
+    )
+    from powerbi_ontology_extractor_spark.operators.extract import extract_all
+
+    dfs = extract_all(_corpus(spark))
+    return permissions_from_dashboard(
+        dfs["entities"], dfs["relationships"], dfs["measures"]
+    ).orderBy("repo", "dataset", "entity")
+
+
+def _kg_ontoguard_bindings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T19: OntoGuard schema bindings — snake_case expected columns,
+    default physical source, PK = first unique property by position
+    (export/ontoguard.py:100-130)."""
+    from powerbi_ontology_extractor_spark.operators.exporters import (
+        ontoguard_bindings,
+    )
+    from powerbi_ontology_extractor_spark.operators.extract import extract_all
+
+    dfs = extract_all(_corpus(spark))
+    b = ontoguard_bindings(dfs["entities"], dfs["properties"])
+    return b.select(
+        "repo",
+        "dataset",
+        "entity",
+        "physical_source",
+        F.array_join("expected_columns", "|").alias("expected_columns"),
+        F.coalesce("primary_key", F.lit("")).alias("primary_key"),
+    ).orderBy("repo", "dataset", "entity")
+
+
 # --------------------------------------------------------------------------
 # Relational operator queries (TPC-H-ish tables; DuckDB oracles)
 # --------------------------------------------------------------------------
@@ -654,6 +776,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_canonical_clusters": _kg_canonical_entities,
         "kg_schema_drift": _kg_drift,
         "kg_fabric_owl_by_pred": _kg_fabric_owl,
+        "kg_diff_changes": _kg_diff_changes,
+        "kg_merge_conflicts": _kg_merge_conflicts,
+        "kg_merged_rules": _kg_merged_rules,
+        "kg_contract_permissions": _kg_contract_permissions,
+        "kg_ontoguard_bindings": _kg_ontoguard_bindings,
         # relational operator families (DuckDB oracle)
         "q_pricing_summary": _q_pricing_summary,
         "q_top_orders": _q_top_orders,
@@ -758,6 +885,17 @@ def oracle_sql() -> dict[str, str]:
         "kg_canonical_clusters": kg_oracles.canonical_clusters_sql(path),
         "kg_schema_drift": kg_oracles.schema_drift_sql(path),
         "kg_fabric_owl_by_pred": kg_oracles.fabric_owl_by_pred_sql(path),
+        "kg_diff_changes": kg_oracles.diff_changes_sql(
+            path, _DIFF_SRC, _DIFF_TGT
+        ),
+        "kg_merge_conflicts": kg_oracles.merge_conflicts_sql(
+            path, _MERGE_BASE, _MERGE_OURS, _MERGE_THEIRS
+        ),
+        "kg_merged_rules": kg_oracles.merged_rules_sql(
+            path, _MERGE_BASE, _MERGE_OURS, _MERGE_THEIRS
+        ),
+        "kg_contract_permissions": kg_oracles.contract_permissions_sql(path),
+        "kg_ontoguard_bindings": kg_oracles.ontoguard_bindings_sql(path),
         "q_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,

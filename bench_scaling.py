@@ -55,7 +55,9 @@ from powerbi_ontology_extractor_spark.sources.corpus import corpus_df
 build_triples(corpus_df(spark, n_repos=4, num_partitions=4)).count()  # warm codegen
 corpus = spark.read.parquet(corpus_path)
 t0 = time.perf_counter()
-n = build_triples(corpus).count()
+# barrier=True: the scaling corpus is far above BARRIER_MIN_MODELS, so
+# skip the auto-probe count job (pure serial cost at 1 executor)
+n = build_triples(corpus, barrier=True).count()
 wall = time.perf_counter() - t0
 print(json.dumps({"executors": n_exec, "cores_per_exec": cores_per_exec,
                   "triples": n, "wall_sec": round(wall, 3),

@@ -1054,6 +1054,315 @@ FROM f_triples GROUP BY pred ORDER BY pred"""
     )
 
 
+_SNAKE = (
+    "lower(regexp_replace(regexp_replace({e}, '(.)([A-Z][a-z]+)', "
+    r"'\1_\2', 'g'), '([a-z0-9])([A-Z])', '\1_\2', 'g'))"
+)
+
+
+def _diff_block(tag: str, src: str, tgt: str) -> str:
+    """CTE block recomputing the engine's diff_ontologies(src→tgt) as
+    full-outer joins over the prelude families — the reference's Change
+    record grammar (ontology_diff.py:240-534): entity add/remove +
+    entity_type/description mods; property add/remove + data_type/
+    required/unique mods within common entities; relationship add/
+    remove + type/cardinality mods keyed on from→to; rule add/remove +
+    condition/action/classification mods keyed on name.  Requires the
+    prelude + _RULES CTEs.  Emits ``ch_{tag}``."""
+    t = tag
+    s_req = "CASE WHEN sr THEN 'True' ELSE 'False' END"
+    t_req = "CASE WHEN tr THEN 'True' ELSE 'False' END"
+    s_unq = "CASE WHEN su THEN 'True' ELSE 'False' END"
+    t_unq = "CASE WHEN tu THEN 'True' ELSE 'False' END"
+    return f"""
+{t}_ent_s AS (SELECT entity, entity_type, descr, n_props FROM ent2
+              WHERE repo = '{src}'),
+{t}_ent_t AS (SELECT entity, entity_type, descr, n_props FROM ent2
+              WHERE repo = '{tgt}'),
+{t}_ent_j AS (
+    SELECT s.entity AS se, t.entity AS te,
+           s.entity_type AS sty, t.entity_type AS tty,
+           s.descr AS sd, t.descr AS td,
+           s.n_props AS snp, t.n_props AS tnp
+    FROM {t}_ent_s s FULL OUTER JOIN {t}_ent_t t ON s.entity = t.entity),
+{t}_common AS (SELECT se AS entity FROM {t}_ent_j
+               WHERE se IS NOT NULL AND te IS NOT NULL),
+{t}_pr_s AS (SELECT p.entity, p.pname, p.otype, p.required, p.uniq, p.pdescr
+             FROM prop p JOIN {t}_common c ON p.entity = c.entity
+             WHERE p.repo = '{src}'),
+{t}_pr_t AS (SELECT p.entity, p.pname, p.otype, p.required, p.uniq, p.pdescr
+             FROM prop p JOIN {t}_common c ON p.entity = c.entity
+             WHERE p.repo = '{tgt}'),
+{t}_pr_j AS (
+    SELECT coalesce(s.entity, t.entity) AS entity,
+           coalesce(s.pname, t.pname) AS pname,
+           s.pname AS sp, t.pname AS tp,
+           s.otype AS sty, t.otype AS tty,
+           s.required AS sr, t.required AS tr,
+           s.uniq AS su, t.uniq AS tu,
+           s.pdescr AS sd, t.pdescr AS td
+    FROM {t}_pr_s s FULL OUTER JOIN {t}_pr_t t
+      ON s.entity = t.entity AND s.pname = t.pname),
+{t}_rl_s AS (SELECT from_e || '→' || to_e AS rel_key, rel_type, card,
+                    'Relationship from ' || from_e || ' to ' || to_e AS rdesc
+             FROM rel2 WHERE repo = '{src}'),
+{t}_rl_t AS (SELECT from_e || '→' || to_e AS rel_key, rel_type, card,
+                    'Relationship from ' || from_e || ' to ' || to_e AS rdesc
+             FROM rel2 WHERE repo = '{tgt}'),
+{t}_rl_j AS (
+    SELECT coalesce(s.rel_key, t.rel_key) AS rel_key,
+           s.rel_key AS sk, t.rel_key AS tk,
+           s.rel_type AS sty, t.rel_type AS tty,
+           s.card AS sc, t.card AS tc,
+           s.rdesc AS sd, t.rdesc AS td
+    FROM {t}_rl_s s FULL OUTER JOIN {t}_rl_t t ON s.rel_key = t.rel_key),
+{t}_ru_s AS (SELECT rule_name, cond, action, classification,
+                    coalesce(nullif(rdescr, ''), mdescr) AS rdesc
+             FROM rules WHERE repo = '{src}'),
+{t}_ru_t AS (SELECT rule_name, cond, action, classification,
+                    coalesce(nullif(rdescr, ''), mdescr) AS rdesc
+             FROM rules WHERE repo = '{tgt}'),
+{t}_ru_j AS (
+    SELECT coalesce(s.rule_name, t.rule_name) AS name,
+           s.rule_name AS sn, t.rule_name AS tn,
+           s.cond AS sc, t.cond AS tc,
+           s.action AS sa, t.action AS ta,
+           s.classification AS scl, t.classification AS tcl,
+           s.rdesc AS sd, t.rdesc AS td
+    FROM {t}_ru_s s FULL OUTER JOIN {t}_ru_t t
+      ON s.rule_name = t.rule_name),
+ch_{t} AS (
+    SELECT 'added' AS change_type, 'entity' AS element_type,
+           te AS element_name, te AS path, '' AS old_value,
+           'type=' || tty || ', properties=' || CAST(tnp AS VARCHAR)
+               AS new_value,
+           coalesce(td, '') AS details
+    FROM {t}_ent_j WHERE se IS NULL
+    UNION ALL
+    SELECT 'removed', 'entity', se, se,
+           'type=' || sty || ', properties=' || CAST(snp AS VARCHAR),
+           '', coalesce(sd, '')
+    FROM {t}_ent_j WHERE te IS NULL
+    UNION ALL
+    SELECT 'modified', 'entity', se, se || '.entity_type', sty, tty,
+           'Entity type changed'
+    FROM {t}_ent_j
+    WHERE se IS NOT NULL AND te IS NOT NULL AND sty IS DISTINCT FROM tty
+    UNION ALL
+    SELECT 'modified', 'entity', se, se || '.description', sd, td,
+           'Description updated'
+    FROM {t}_ent_j
+    WHERE se IS NOT NULL AND te IS NOT NULL AND sd IS DISTINCT FROM td
+    UNION ALL
+    SELECT 'added', 'property', tp, entity || '.' || pname, '',
+           'type=' || tty || ', required=' || {t_req}, coalesce(td, '')
+    FROM {t}_pr_j WHERE sp IS NULL
+    UNION ALL
+    SELECT 'removed', 'property', sp, entity || '.' || pname,
+           'type=' || sty || ', required=' || {s_req}, '', coalesce(sd, '')
+    FROM {t}_pr_j WHERE tp IS NULL
+    UNION ALL
+    SELECT 'modified', 'property', pname,
+           entity || '.' || pname || '.data_type', sty, tty,
+           'Data type changed'
+    FROM {t}_pr_j
+    WHERE sp IS NOT NULL AND tp IS NOT NULL AND sty IS DISTINCT FROM tty
+    UNION ALL
+    SELECT 'modified', 'property', pname,
+           entity || '.' || pname || '.required', {s_req}, {t_req},
+           'Required flag changed'
+    FROM {t}_pr_j
+    WHERE sp IS NOT NULL AND tp IS NOT NULL AND sr IS DISTINCT FROM tr
+    UNION ALL
+    SELECT 'modified', 'property', pname,
+           entity || '.' || pname || '.unique', {s_unq}, {t_unq},
+           'Unique flag changed'
+    FROM {t}_pr_j
+    WHERE sp IS NOT NULL AND tp IS NOT NULL AND su IS DISTINCT FROM tu
+    UNION ALL
+    SELECT 'added', 'relationship', tk, tk, '',
+           'type=' || tty || ', cardinality=' || tc, coalesce(td, '')
+    FROM {t}_rl_j WHERE sk IS NULL
+    UNION ALL
+    SELECT 'removed', 'relationship', sk, sk,
+           'type=' || sty || ', cardinality=' || sc, '', coalesce(sd, '')
+    FROM {t}_rl_j WHERE tk IS NULL
+    UNION ALL
+    SELECT 'modified', 'relationship', rel_key, rel_key || '.type',
+           sty, tty, 'Relationship type changed'
+    FROM {t}_rl_j
+    WHERE sk IS NOT NULL AND tk IS NOT NULL AND sty IS DISTINCT FROM tty
+    UNION ALL
+    SELECT 'modified', 'relationship', rel_key, rel_key || '.cardinality',
+           sc, tc, 'Cardinality changed'
+    FROM {t}_rl_j
+    WHERE sk IS NOT NULL AND tk IS NOT NULL AND sc IS DISTINCT FROM tc
+    UNION ALL
+    SELECT 'added', 'rule', tn, 'rule:' || name, '',
+           'condition=' || tc || ', action=' || ta, coalesce(td, '')
+    FROM {t}_ru_j WHERE sn IS NULL
+    UNION ALL
+    SELECT 'removed', 'rule', sn, 'rule:' || name,
+           'condition=' || sc || ', action=' || sa, '', coalesce(sd, '')
+    FROM {t}_ru_j WHERE tn IS NULL
+    UNION ALL
+    SELECT 'modified', 'rule', name, 'rule:' || name || '.condition',
+           sc, tc, 'Condition changed'
+    FROM {t}_ru_j
+    WHERE sn IS NOT NULL AND tn IS NOT NULL AND sc IS DISTINCT FROM tc
+    UNION ALL
+    SELECT 'modified', 'rule', name, 'rule:' || name || '.action',
+           sa, ta, 'Action changed'
+    FROM {t}_ru_j
+    WHERE sn IS NOT NULL AND tn IS NOT NULL AND sa IS DISTINCT FROM ta
+    UNION ALL
+    SELECT 'modified', 'rule', name,
+           'rule:' || name || '.classification', scl, tcl,
+           'Classification changed'
+    FROM {t}_ru_j
+    WHERE sn IS NOT NULL AND tn IS NOT NULL AND scl IS DISTINCT FROM tcl)
+"""
+
+
+def diff_changes_sql(corpus_path: str, src: str, tgt: str) -> str:
+    """Full ontology diff src→tgt (engine: operators/diff.py
+    diff_ontologies with keys=()), ordered on every column."""
+    return (
+        "WITH "
+        + _prelude(corpus_path)
+        + ","
+        + _RULES
+        + ","
+        + _diff_block("d", src, tgt)
+        + """
+SELECT change_type, element_type, element_name, path,
+       coalesce(old_value, '') AS old_value,
+       coalesce(new_value, '') AS new_value,
+       details
+FROM ch_d
+ORDER BY change_type, element_type, element_name, path,
+         old_value, new_value, details"""
+    )
+
+
+def merge_conflicts_sql(
+    corpus_path: str, base: str, ours: str, theirs: str
+) -> str:
+    """Three-way merge conflicts = paths changed in BOTH diff(base,ours)
+    and diff(base,theirs) (ontology_diff.py:617-618)."""
+    return (
+        "WITH "
+        + _prelude(corpus_path)
+        + ","
+        + _RULES
+        + ","
+        + _diff_block("o", base, ours)
+        + ","
+        + _diff_block("h", base, theirs)
+        + """
+SELECT DISTINCT o.path AS path, o.element_type AS element_type
+FROM (SELECT DISTINCT path, element_type FROM ch_o) o
+JOIN (SELECT DISTINCT path FROM ch_h) h USING (path)
+ORDER BY path, element_type"""
+    )
+
+
+def merged_rules_sql(
+    corpus_path: str, base: str, ours: str, theirs: str
+) -> str:
+    """Merged business-rule census: ours' rules ∪ theirs' rules whose
+    name was ADDED by diff(base,theirs) at a non-conflicting path
+    (ontology_diff.py:642-720, ours-priority merge)."""
+    return (
+        "WITH "
+        + _prelude(corpus_path)
+        + ","
+        + _RULES
+        + ","
+        + _diff_block("o", base, ours)
+        + ","
+        + _diff_block("h", base, theirs)
+        + f""",
+conflict_paths AS (
+    SELECT DISTINCT o.path
+    FROM (SELECT DISTINCT path FROM ch_o) o
+    JOIN (SELECT DISTINCT path FROM ch_h) h USING (path)),
+adopted AS (
+    SELECT DISTINCT element_name FROM ch_h
+    WHERE element_type = 'rule' AND change_type = 'added'
+      AND path NOT IN (SELECT path FROM conflict_paths))
+SELECT name, CAST(count(*) AS BIGINT) AS n FROM (
+    SELECT rule_name AS name FROM rules WHERE repo = '{ours}'
+    UNION ALL
+    SELECT rule_name FROM rules WHERE repo = '{theirs}'
+      AND rule_name IN (SELECT element_name FROM adopted))
+GROUP BY name ORDER BY name"""
+    )
+
+
+def contract_permissions_sql(corpus_path: str) -> str:
+    """Agent read-set (contract_builder.py:113-151): entity names ∪
+    relationship endpoints ∪ measure-dependency tables, with the sorted
+    provenance set per entity."""
+    return (
+        "WITH "
+        + _prelude(corpus_path)
+        + ","
+        + _ALL_MEASURES
+        + """,
+perm_src AS (
+    SELECT repo, dataset, entity, 'entity' AS source FROM ent2
+    UNION ALL
+    SELECT repo, dataset, from_e AS entity, 'relationship' FROM rel2
+    UNION ALL
+    SELECT repo, dataset, to_e AS entity, 'relationship' FROM rel2
+    UNION ALL
+    SELECT repo, dataset, string_split(dep, '.')[1] AS entity,
+           'measure_dependency' AS source
+    FROM (SELECT repo, dataset, unnest(deps) AS dep
+          FROM dep_lists WHERE dataset <> 'Standalone')
+    WHERE contains(dep, '.'))
+SELECT repo, dataset, entity,
+       array_to_string(list_sort(list_distinct(list(source))), ',')
+           AS sources
+FROM perm_src GROUP BY repo, dataset, entity
+ORDER BY repo, dataset, entity"""
+    )
+
+
+def ontoguard_bindings_sql(corpus_path: str) -> str:
+    """OntoGuard schema bindings (export/ontoguard.py:100-130):
+    snake_case expected columns, default physical source
+    ``sql_db.dbo.<snake(entity)>``, PK = first unique property by array
+    position."""
+    snake_p = _SNAKE.format(e="coalesce(cols[i].name, '')")
+    snake_e = _SNAKE.format(e="e.entity")
+    return (
+        "WITH "
+        + _prelude(corpus_path)
+        + f""",
+prop_pos AS (
+    SELECT repo, dataset, entity, i - 1 AS pos,
+           {snake_p} AS physical,
+           (coalesce(cols[i].isUnique, FALSE) OR
+            coalesce(cols[i].isKey, FALSE)) AS uniq
+    FROM ent, unnest(range(1, len(cols) + 1)) AS _(i)),
+og AS (
+    SELECT repo, dataset, entity,
+           list_sort(list(physical)) AS expected_columns,
+           arg_min(physical, pos) FILTER (WHERE uniq) AS primary_key
+    FROM prop_pos GROUP BY repo, dataset, entity)
+SELECT e.repo AS repo, e.dataset AS dataset, e.entity AS entity,
+       'sql_db.dbo.' || {snake_e} AS physical_source,
+       coalesce(array_to_string(o.expected_columns, '|'), '')
+           AS expected_columns,
+       coalesce(o.primary_key, '') AS primary_key
+FROM ent2 e LEFT JOIN og o
+  ON e.repo = o.repo AND e.dataset = o.dataset AND e.entity = o.entity
+ORDER BY repo, dataset, entity"""
+    )
+
+
 def schema_drift_sql(corpus_path: str) -> str:
     """schema_mapper.py:77-254 set semantics over snake_case bindings,
     with the same deterministic synthetic drift as the Spark query

@@ -24,8 +24,9 @@ def permissions_from_dashboard(
     """Suggested read-set per (repo, dataset): entity names ∪
     relationship endpoints ∪ measure-dependency tables
     (contract_builder.py:113-151) — union of 3 projections + distinct.
-    Output: (repo, dataset, entity, source ∈ {entity, relationship,
-    measure_dependency})."""
+    Output: (repo, dataset, entity, sources) where ``sources`` is the
+    sorted comma-joined provenance set (deterministic, unlike a
+    dropDuplicates survivor — required for the DuckDB oracle)."""
     from_entities = entities.select(
         "repo", "dataset", "entity", F.lit("entity").alias("source")
     )
@@ -51,7 +52,12 @@ def permissions_from_dashboard(
     return (
         from_entities.unionByName(from_rels)
         .unionByName(from_measures)
-        .dropDuplicates(["repo", "dataset", "entity"])
+        .groupBy("repo", "dataset", "entity")
+        .agg(
+            F.array_join(F.array_sort(F.collect_set("source")), ",").alias(
+                "sources"
+            )
+        )
     )
 
 

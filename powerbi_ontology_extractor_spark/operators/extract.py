@@ -415,7 +415,11 @@ def security_rules_df(models: DataFrame) -> DataFrame:
     )
 
 
-def extract_all(corpus: DataFrame, materialize: bool = False) -> dict[str, DataFrame]:
+def extract_all(
+    corpus: DataFrame,
+    materialize: bool = False,
+    family_barrier: bool = True,
+) -> dict[str, DataFrame]:
     """Run the whole extraction stage; returns the model DataFrames.
 
     ``models`` is persisted because five families derive from it
@@ -428,6 +432,11 @@ def extract_all(corpus: DataFrame, materialize: bool = False) -> dict[str, DataF
     barrier each branch would re-scan the parsed-model cache (dozens of
     extra stages; at cluster scale this boundary is an Iceberg write,
     see plans/manifest).
+
+    ``family_barrier=False`` keeps the essential models checkpoint but
+    skips the flat-family round — the barriers carry a fixed ~1-2 s
+    driver/job cost that only pays for itself on large corpora (the
+    pipeline picks per corpus size, see pipeline.BARRIER_MIN_MODELS).
     """
     models = parse_models(corpus)
     if materialize:
@@ -450,7 +459,7 @@ def extract_all(corpus: DataFrame, materialize: bool = False) -> dict[str, DataF
             ["repo", "dataset"]
         ),
     }
-    if materialize:
+    if materialize and family_barrier:
         # checkpoint the FLAT family frames in ONE concurrent round
         # (they all derive from the already-materialized models
         # checkpoint, so the round costs max(job latency), not sum).

@@ -1,12 +1,14 @@
 """Multimodal columns: image/audio/video as opaque binary + typed
 metadata, processed through mapInPandas.
 
-The decode step is STUBBED (no image/audio libs in this container):
-``decode_media`` raises NotImplementedError unless ``fake=True``, in
-which case a deterministic hash-based feature vector stands in for the
-real decoder.  The Spark-side plumbing — schema, Arrow batch shape,
-partitioning, UDF signatures — is real and tested; swapping the stub
-for PIL/torchaudio is a one-function change.
+Decode support (pure numpy — no image/audio libs in this container):
+- **PPM (P6) images**: full header+raster parser (comments, arbitrary
+  maxval ≤ 65535) → grayscale signal → bucket-mean features.
+- **WAV (RIFF/PCM) audio**: chunk walker (fmt/data, 8/16/32-bit PCM,
+  any channel count) → mono float signal → bucket-mean features.
+- other containers (PNG/JPEG/MP4…) still raise NotImplementedError —
+  they need real codec libraries; ``fake=True`` keeps the deterministic
+  hash-based stand-in for pipeline tests over arbitrary bytes.
 
 Design for 100 TB of media: binary payloads never shuffle.  All
 feature extraction is a narrow mapInPandas over the scan; only the
@@ -57,26 +59,163 @@ FEATURE_SCHEMA = StructType(
 )
 
 
-def decode_media(payload: bytes, media_type: str, dim: int, fake: bool) -> np.ndarray:
-    """Decode one media payload to a feature vector.
+def _bucket_features(signal: np.ndarray, dim: int) -> np.ndarray:
+    """Mean of ``dim`` equal-width buckets of a 1-D float signal — the
+    fixed-size feature vector every decoded modality reduces to."""
+    signal = np.asarray(signal, dtype=np.float64).ravel()
+    if signal.size == 0:
+        return np.zeros(dim, dtype=np.float32)
+    edges = np.linspace(0, signal.size, dim + 1).astype(np.int64)
+    counts = np.diff(edges)
+    # reduceat misbehaves on repeated indices (empty buckets): guard
+    sums = np.add.reduceat(signal, np.minimum(edges[:-1], signal.size - 1))
+    out = np.where(counts > 0, sums / np.maximum(counts, 1), 0.0)
+    return out.astype(np.float32)
 
-    Real decoders (PIL / torchaudio / pyav) are not available in this
-    environment — the deterministic fake derives ``dim`` floats from the
-    payload's sha256 stream so the pipeline is testable end-to-end.
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Parse a binary PPM (P6) image → float array (h, w, 3) in [0,1].
+
+    Pure numpy: header tokenizer handles ``#`` comments and any
+    whitespace; maxval ≤ 255 → 1 byte/sample, else 2 bytes big-endian
+    (per the netpbm spec)."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    # tokenize header: 3 integers (width, height, maxval) after 'P6',
+    # skipping comments; raster starts after exactly ONE whitespace
+    # byte following maxval
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(int(payload[start:pos]))
+    pos += 1  # the single whitespace after maxval
+    width, height, maxval = tokens
+    n = width * height * 3
+    if maxval < 256:
+        raster = np.frombuffer(payload, dtype=np.uint8, count=n, offset=pos)
+    else:
+        raster = np.frombuffer(payload, dtype=">u2", count=n, offset=pos)
+    return raster.reshape(height, width, 3).astype(np.float64) / maxval
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """Parse a RIFF/WAVE PCM payload → (mono float samples in [-1,1],
+    sample_rate).  Chunk walker: fmt (PCM only) + data; 8-bit unsigned,
+    16/32-bit signed little-endian; multi-channel averaged to mono."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format = int.from_bytes(fmt[0:2], "little")
+    n_channels = int.from_bytes(fmt[2:4], "little")
+    sample_rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_format != 1:
+        raise NotImplementedError(f"WAV format {audio_format} (non-PCM)")
+    if bits == 8:
+        samples = (
+            np.frombuffer(data, dtype=np.uint8).astype(np.float64) - 128.0
+        ) / 128.0
+    elif bits == 16:
+        samples = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
+    elif bits == 32:
+        samples = np.frombuffer(data, dtype="<i4").astype(np.float64) / 2**31
+    else:
+        raise NotImplementedError(f"{bits}-bit WAV")
+    if n_channels > 1:
+        samples = samples[: len(samples) - len(samples) % n_channels]
+        samples = samples.reshape(-1, n_channels).mean(axis=1)
+    return samples, sample_rate
+
+
+def decode_media(payload: bytes, media_type: str, dim: int, fake: bool) -> np.ndarray:
+    """Decode one media payload to a ``dim``-float feature vector.
+
+    Real decoders: PPM (P6) images and RIFF/PCM WAV audio, parsed with
+    pure numpy (no codec libs needed).  Other containers (PNG, JPEG,
+    MP4, …) require libraries absent from this environment and raise
+    NotImplementedError.  ``fake=True`` derives the vector from the
+    payload's sha256 stream instead — deterministic stand-in for
+    pipeline tests over arbitrary bytes.
     """
-    if not fake:
-        raise NotImplementedError(
-            "media decoding requires image/audio libraries not present in "
-            "this container; pass fake=True for the deterministic stub"
-        )
-    h = hashlib.sha256(payload or b"")
-    raw = b""
-    block = h.digest()
-    while len(raw) < dim * 4:
-        block = hashlib.sha256(block).digest()
-        raw += block
-    arr = np.frombuffer(raw[: dim * 4], dtype=np.uint32).astype(np.float32)
-    return arr / np.float32(2**32)
+    if fake:
+        h = hashlib.sha256(payload or b"")
+        raw = b""
+        block = h.digest()
+        while len(raw) < dim * 4:
+            block = hashlib.sha256(block).digest()
+            raw += block
+        arr = np.frombuffer(raw[: dim * 4], dtype=np.uint32).astype(np.float32)
+        return arr / np.float32(2**32)
+    if payload[:2] == b"P6":
+        rgb = decode_ppm(payload)
+        return _bucket_features(rgb.mean(axis=2), dim)  # grayscale
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        samples, _ = decode_wav(payload)
+        return _bucket_features(samples, dim)
+    raise NotImplementedError(
+        f"no pure-numpy decoder for this {media_type} container; "
+        "PPM (P6) and PCM WAV are supported, or pass fake=True"
+    )
+
+
+def synth_ppm_bytes(width: int = 24, height: int = 16, seed: int = 7) -> bytes:
+    """Deterministic P6 fixture: seeded RGB gradient + comment header."""
+    rng = np.random.RandomState(seed)
+    img = (
+        np.fromfunction(
+            lambda y, x, c: (x * 7 + y * 5 + c * 41) % 256, (height, width, 3)
+        ).astype(np.uint8)
+        ^ rng.randint(0, 256, (height, width, 3), dtype=np.uint8)
+    )
+    header = f"P6\n# synthetic fixture\n{width} {height}\n255\n".encode()
+    return header + img.tobytes()
+
+
+def synth_wav_bytes(
+    n_samples: int = 2048, sample_rate: int = 8000, seed: int = 7
+) -> bytes:
+    """Deterministic 16-bit mono PCM WAV fixture: two sine tones +
+    seeded noise."""
+    rng = np.random.RandomState(seed)
+    t = np.arange(n_samples) / sample_rate
+    sig = (
+        0.5 * np.sin(2 * np.pi * 440 * t)
+        + 0.25 * np.sin(2 * np.pi * 1000 * t)
+        + 0.05 * rng.standard_normal(n_samples)
+    )
+    pcm = (np.clip(sig, -1, 1) * 32767).astype("<i2").tobytes()
+    fmt = (
+        (1).to_bytes(2, "little")          # PCM
+        + (1).to_bytes(2, "little")        # mono
+        + sample_rate.to_bytes(4, "little")
+        + (sample_rate * 2).to_bytes(4, "little")  # byte rate
+        + (2).to_bytes(2, "little")        # block align
+        + (16).to_bytes(2, "little")       # bits
+    )
+    chunks = b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+    chunks += b"data" + len(pcm).to_bytes(4, "little") + pcm
+    return b"RIFF" + (4 + len(chunks)).to_bytes(4, "little") + b"WAVE" + chunks
 
 
 def extract_features(

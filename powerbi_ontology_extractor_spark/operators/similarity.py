@@ -172,13 +172,12 @@ def ivf_build(
     """IVF index: k-means centroids trained on a deterministic sample
     (standard IVF practice — training is sample-sized, ASSIGNMENT is
     distributed), then the table written partitioned by centroid id.
-    Centroids persist beside the data (``_centroids.json``) so probes
-    pick lists without touching the data files.  Swapping the LSH
-    bucket for learned centroids reuses the identical layout/probe
-    plumbing — this is the promised IVF variant of the scale path."""
-    import json as _json
-    import os
-
+    Centroids persist beside the data as a tiny parquet sidecar
+    (``<path>_centroids``) written/read through Spark — works on any
+    Hadoop-compatible filesystem (HDFS/S3/local), unlike a driver-local
+    ``open()``.  Swapping the LSH bucket for learned centroids reuses
+    the identical layout/probe plumbing — this is the promised IVF
+    variant of the scale path."""
     sample = np.array(
         embeddings.select(vec_col)
         .orderBy(id_col)
@@ -206,9 +205,28 @@ def ivf_build(
         .partitionBy("centroid")
         .parquet(path)
     )
-    with open(os.path.join(path, "_centroids.json"), "w") as f:
-        _json.dump(cents.tolist(), f)
+    spark = embeddings.sparkSession
+    spark.createDataFrame(
+        [(int(i), [float(x) for x in c]) for i, c in enumerate(cents)],
+        "centroid_id int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(_centroids_path(path))
     return path
+
+
+def _centroids_path(path: str) -> str:
+    """Sidecar location: a sibling directory, NOT inside ``path`` —
+    Spark ignores ``_``-prefixed files but a nested parquet dir would
+    confuse partition discovery on some filesystems."""
+    return path.rstrip("/") + "_centroids"
+
+
+def read_centroids(spark, path: str) -> np.ndarray:
+    """Load the IVF centroid matrix from the parquet sidecar (through
+    the session's filesystem, not the driver's local disk)."""
+    rows = spark.read.parquet(_centroids_path(path)).orderBy(
+        "centroid_id"
+    ).collect()
+    return np.array([r["centroid"] for r in rows], dtype=float)
 
 
 def ivf_topk(
@@ -222,11 +240,7 @@ def ivf_topk(
 ) -> DataFrame:
     """Probe the ``nprobe`` nearest inverted lists (partition-pruned
     scan), then exact cosine top-k inside them."""
-    import json as _json
-    import os
-
-    with open(os.path.join(path, "_centroids.json")) as f:
-        cents = np.array(_json.load(f), dtype=float)
+    cents = read_centroids(spark, path)
     q = np.asarray(query_vec, dtype=float)
     q = q / np.linalg.norm(q)
     probe = [int(i) for i in np.argsort(-(cents @ q))[:nprobe]]

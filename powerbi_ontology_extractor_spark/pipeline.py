@@ -47,18 +47,47 @@ def _constraint_triples(corpus: DataFrame, onto_dfs: dict) -> DataFrame:
     )
 
 
+# barrier="auto" probes corpus size (one count job on the
+# lang='model_json' slice — partition-pruned on the lang-partitioned
+# layout) and skips the flat-family checkpoint rounds below this many
+# models.  Measured r3 (fresh-JVM, interleaved, min-of-3): full
+# barriers ≤ light at BOTH 6 repos (8.8 vs 10.1 s) and 400 repos
+# (12.2 vs 13.2 s), and they are what holds N→4N scaling efficiency
+# ≥ 0.8 at 24k repos — so the default is True (always full); "auto"
+# remains for callers who want the probe.
+BARRIER_MIN_MODELS = 2000
+
+
+def _full_barriers(corpus: DataFrame, barrier: str | bool) -> bool:
+    if barrier == "auto":
+        return (
+            corpus.where(F.col("lang") == "model_json").count()
+            >= BARRIER_MIN_MODELS
+        )
+    return bool(barrier)
+
+
 def build_triples(
     corpus: DataFrame,
     roles: list[str] = DEFAULT_ROLES,
     generated_at: str = DEFAULT_GENERATED_AT,
     include_latent_surfaces: bool = True,
+    barrier: str | bool = True,
 ) -> DataFrame:
-    """corpus (repo, path, commit, lang, content) → triples DF."""
-    # materialize stage boundaries: the export union fans out into ~40
-    # branches; without barriers every branch re-derives the parse
-    # (measured 6x wall-clock at local[32])
-    model_dfs = extract_all(corpus, materialize=True)
-    onto_dfs = generate_ontology(model_dfs, materialize=True)
+    """corpus (repo, path, commit, lang, content) → triples DF.
+
+    ``barrier``: True (default) materializes the full stage-boundary
+    set — models + parsed-measures checkpoints plus the flat-family
+    rounds that stop the ~40-branch export union from re-scanning the
+    parse (measured 6× wall-clock, and the difference between 0.61 and
+    0.81 N→4N scaling efficiency).  False keeps only the essential
+    models/parsed checkpoints; "auto" probes corpus size and picks
+    (see BARRIER_MIN_MODELS — full won at every scale measured, so the
+    default stays True).
+    """
+    full = _full_barriers(corpus, barrier)
+    model_dfs = extract_all(corpus, materialize=True, family_barrier=full)
+    onto_dfs = generate_ontology(model_dfs, materialize=full)
     triples = export_triples(onto_dfs, model_dfs, roles, generated_at, dedup=False)
     triples = triples.unionByName(_constraint_triples(corpus, onto_dfs))
     if include_latent_surfaces:
@@ -73,6 +102,7 @@ def build_triples_canonicalized(
     roles: list[str] = DEFAULT_ROLES,
     generated_at: str = DEFAULT_GENERATED_AT,
     min_prop_jaccard: float = 0.5,
+    barrier: str | bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """Full north-star path: triples + cross-repo entity canonicalization
     (MinHash-LSH blocking → connected components → canonical IRIs)
@@ -86,8 +116,9 @@ def build_triples_canonicalized(
         rewrite_triples_canonical,
     )
 
-    model_dfs = extract_all(corpus, materialize=True)
-    onto_dfs = generate_ontology(model_dfs, materialize=True)
+    full = _full_barriers(corpus, barrier)
+    model_dfs = extract_all(corpus, materialize=True, family_barrier=full)
+    onto_dfs = generate_ontology(model_dfs, materialize=full)
     triples = export_triples(onto_dfs, model_dfs, roles, generated_at, dedup=False)
     triples = (
         triples.unionByName(_constraint_triples(corpus, onto_dfs))
@@ -136,22 +167,43 @@ def nodes_edges(triples: DataFrame) -> tuple[DataFrame, DataFrame]:
     return nodes, edges
 
 
-def write_outputs(triples: DataFrame, out_dir: str, repo_buckets: int = 64) -> None:
+def _write(df: DataFrame, target: str, fmt: str) -> None:
+    """Format-pluggable table write.
+
+    - ``parquet`` (default): path-based, overwrite.
+    - ``iceberg``: catalog-table based (``target`` is a table name like
+      ``catalog.db.triples``) — requires an Iceberg runtime/catalog on
+      the session (spark.sql.catalog.* conf); on a bare sandbox this
+      raises Spark's own missing-catalog error rather than silently
+      degrading.  The DataFrameWriterV2 ``createOrReplace`` carries the
+      repartition through as the write distribution.
+    """
+    if fmt == "iceberg":
+        df.writeTo(target).using("iceberg").createOrReplace()
+    else:
+        df.write.mode("overwrite").format(fmt).save(target)
+
+
+def write_outputs(
+    triples: DataFrame,
+    out_dir: str,
+    repo_buckets: int = 64,
+    fmt: str = "parquet",
+) -> None:
     """Persist triples + node/edge tables.
 
-    Cluster posture: Iceberg tables partitioned by ``bucket(repo)``;
+    Cluster posture: Iceberg tables partitioned by ``bucket(repo)``
+    (``fmt="iceberg"`` with ``out_dir`` = ``catalog.db`` prefix);
     locally parquet with an explicit repartition on the same key so the
     file layout matches what a 1000-executor write would produce.
     """
+    sep = "." if fmt == "iceberg" else "/"
     t = triples.repartition(repo_buckets, "repo")
-    t.write.mode("overwrite").parquet(f"{out_dir}/triples")
+    _write(t, f"{out_dir}{sep}triples", fmt)
     nodes, edges = nodes_edges(triples)
-    nodes.repartition(max(repo_buckets // 4, 1), "repo").write.mode(
-        "overwrite"
-    ).parquet(f"{out_dir}/nodes")
-    edges.repartition(max(repo_buckets // 4, 1), "repo").write.mode(
-        "overwrite"
-    ).parquet(f"{out_dir}/edges")
+    small = max(repo_buckets // 4, 1)
+    _write(nodes.repartition(small, "repo"), f"{out_dir}{sep}nodes", fmt)
+    _write(edges.repartition(small, "repo"), f"{out_dir}{sep}edges", fmt)
 
 
 __all__ = [

@@ -2,6 +2,8 @@
 similarity search, text analysis, multimodal plumbing — over the
 driver-generated documents/embeddings tables plus synthetic edge cases."""
 
+import os
+
 import numpy as np
 import pytest
 from pyspark.sql import functions as F
@@ -217,8 +219,81 @@ def test_multimodal_features_deterministic(spark):
 
 
 def test_multimodal_decode_stub_raises():
+    # containers with no pure-numpy decoder still refuse honestly
     with pytest.raises(NotImplementedError):
         MM.decode_media(b"bytes", "image", 8, fake=False)
+
+
+FIXTURES = os.path.join(os.path.dirname(os.path.dirname(__file__)), "fixtures")
+
+
+def test_ppm_fixture_pinned_and_decodes():
+    """Committed byte fixture == generator output; real (fake=False)
+    decode parses header+raster and yields in-range features."""
+    with open(os.path.join(FIXTURES, "sample.ppm"), "rb") as f:
+        payload = f.read()
+    assert payload == MM.synth_ppm_bytes()
+    img = MM.decode_ppm(payload)
+    assert img.shape == (16, 24, 3) and 0.0 <= img.min() <= img.max() <= 1.0
+    feats = MM.decode_media(payload, "image", 8, fake=False)
+    assert feats.shape == (8,) and all(0.0 <= x <= 1.0 for x in feats)
+
+
+def test_ppm_header_variants():
+    import numpy as np
+
+    # comments + 2-byte maxval raster (big-endian per netpbm spec)
+    p = b"P6\n# c1\n2 # inline\n2\n65535\n" + np.arange(
+        12, dtype=">u2"
+    ).tobytes()
+    img = MM.decode_ppm(p)
+    assert img.shape == (2, 2, 3)
+    assert abs(img[1, 1, 2] - 11 / 65535) < 1e-9
+
+
+def test_wav_fixture_pinned_and_decodes():
+    with open(os.path.join(FIXTURES, "sample.wav"), "rb") as f:
+        payload = f.read()
+    assert payload == MM.synth_wav_bytes()
+    samples, rate = MM.decode_wav(payload)
+    assert rate == 8000 and samples.shape == (2048,)
+    assert -1.0 <= samples.min() and samples.max() <= 1.0
+    feats = MM.decode_media(payload, "audio", 8, fake=False)
+    assert feats.shape == (8,)
+
+
+def test_wav_8bit_stereo_downmix():
+    fmt = (
+        (1).to_bytes(2, "little") + (2).to_bytes(2, "little")
+        + (8000).to_bytes(4, "little") + (16000).to_bytes(4, "little")
+        + (2).to_bytes(2, "little") + (8).to_bytes(2, "little")
+    )
+    pcm = bytes(range(200))
+    payload = (
+        b"RIFF" + (4 + 8 + len(fmt) + 8 + len(pcm)).to_bytes(4, "little")
+        + b"WAVE" + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+        + b"data" + len(pcm).to_bytes(4, "little") + pcm
+    )
+    samples, rate = MM.decode_wav(payload)
+    assert rate == 8000 and samples.shape == (100,)  # stereo → mono
+
+
+def test_real_decode_through_spark_pipeline(spark):
+    """fake=False end-to-end via mapInPandas on real PPM/WAV payloads —
+    the decode step is no longer a stub for these containers."""
+    rows = [
+        (0, "image", MM.synth_ppm_bytes(), "image/x-portable-pixmap",
+         24, 16, None, "synthetic://ppm/0"),
+        (1, "audio", MM.synth_wav_bytes(), "audio/wav",
+         None, None, 256, "synthetic://wav/1"),
+    ]
+    media = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in
+           MM.extract_features(media, dim=8, fake=False).collect()}
+    assert len(out[0]["features"]) == 8 and len(out[1]["features"]) == 8
+    # image bucket means live in [0,1]; audio in [-1,1]
+    assert all(0.0 <= x <= 1.0 for x in out[0]["features"])
+    assert all(-1.0 <= x <= 1.0 for x in out[1]["features"])
 
 
 def test_frame_sample_plan(spark):
@@ -309,10 +384,12 @@ def test_ivf_index_recall_and_pruning(spark, embeddings, tmp_path):
     probed = {r["vec_id"]
               for r in SIM.ivf_topk(spark, path, list(q), k=5, nprobe=2).collect()}
     assert 0 in probed  # the query vector's own list is always probed
-    # partition pruning visible in the plan
-    import json as _json, os as _os
+    # centroids live in a parquet sidecar read through spark.read (no
+    # driver-local open() — works on object storage)
     import numpy as _np
-    cents = _np.array(_json.load(open(_os.path.join(path, "_centroids.json"))))
+    cents = SIM.read_centroids(spark, path)
+    assert cents.shape[0] == 8
+    # partition pruning visible in the plan
     qv = _np.asarray(list(q)); qv = qv / _np.linalg.norm(qv)
     probe = [int(i) for i in _np.argsort(-(cents @ qv))[:2]]
     df = spark.read.parquet(path).where(F.col("centroid").isin(probe))

@@ -206,6 +206,31 @@ def test_nodes_edges(mini_triples):
     assert edges.where(F.col("dst") == "d1").count() == 0
 
 
+def test_write_outputs_parquet_roundtrip(mini_triples, tmp_path):
+    from powerbi_ontology_extractor_spark.pipeline import write_outputs
+
+    out = str(tmp_path / "kg_out")
+    write_outputs(mini_triples, out, repo_buckets=4)
+    spark = mini_triples.sparkSession
+    t = spark.read.parquet(f"{out}/triples")
+    nodes, edges = nodes_edges(mini_triples)
+    assert t.count() == mini_triples.count()
+    assert spark.read.parquet(f"{out}/nodes").count() == nodes.count()
+    assert spark.read.parquet(f"{out}/edges").count() == edges.count()
+
+
+def test_write_outputs_iceberg_needs_catalog(mini_triples, tmp_path):
+    """fmt='iceberg' routes through DataFrameWriterV2; without an
+    Iceberg runtime it must surface Spark's catalog error, not silently
+    fall back to parquet."""
+    from powerbi_ontology_extractor_spark.pipeline import write_outputs
+
+    with pytest.raises(Exception) as exc:
+        write_outputs(mini_triples, "nocat.db", repo_buckets=2, fmt="iceberg")
+    msg = str(exc.value).lower()
+    assert "catalog" in msg or "iceberg" in msg or "not found" in msg
+
+
 def test_dax_sanitization_in_condition(spark):
     model = {
         "name": "S",
