@@ -59,6 +59,7 @@ def main() -> None:
             return None
 
     timings: dict[str, float] = {}
+    all_trials: dict[str, list[float]] = {}
     extras: dict[str, float] = {}
 
     # warm the JVM/Arrow/codegen paths so timings measure the queries,
@@ -66,10 +67,18 @@ def main() -> None:
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
     build_triples(corpus_df(spark, n_repos=4)).count()
 
-    def timed(name: str, fn) -> None:
-        t0 = time.perf_counter()
-        result = fn()
-        timings[name] = round(time.perf_counter() - t0, 3)
+    def timed(name: str, fn, trials: int = 2):
+        """Min-of-k in-session timing: the shared host's noise swings a
+        single measurement up to ~25% (observed 12.2 → 15.1 s on the
+        same query); every trial is a fresh DataFrame DAG (no shuffle
+        or checkpoint reuse between them).  All trials are reported."""
+        walls, result = [], None
+        for _ in range(trials):
+            t0 = time.perf_counter()
+            result = fn()
+            walls.append(round(time.perf_counter() - t0, 3))
+        timings[name] = min(walls)
+        all_trials[name] = walls
         return result
 
     # 1. KG pipeline: corpus → triples (the flagship)
@@ -78,10 +87,19 @@ def main() -> None:
     ).persist()
     corpus.count()  # materialize synthesis outside the timed window
     sw0 = shuffle_write_mb()
-    n_triples = timed("kg_build_triples", lambda: build_triples(corpus).count())
+    n_triples = timed(
+        "kg_build_triples", lambda: build_triples(corpus).count(), trials=1
+    )
     sw1 = shuffle_write_mb()
     if sw0 is not None and sw1 is not None:
         extras["kg_shuffle_write_mb"] = round(sw1 - sw0, 1)
+    # second kg trial AFTER the shuffle-write window so the delta stays
+    # attributable to one run
+    timed("kg_build_triples_t2", lambda: build_triples(corpus).count(), trials=1)
+    walls = [timings.pop("kg_build_triples"), timings.pop("kg_build_triples_t2")]
+    all_trials.pop("kg_build_triples_t2")
+    timings["kg_build_triples"] = min(walls)
+    all_trials["kg_build_triples"] = walls
     extras["kg_triples"] = n_triples
     extras["kg_repos"] = kg_repos
     extras["kg_triples_per_sec"] = round(n_triples / timings["kg_build_triples"], 1)
@@ -119,6 +137,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "trials": all_trials,
+                "timing": "min of 2 in-session trials per query",
                 "sf": sf,
                 "cpus": cpus,
                 **extras,

@@ -130,6 +130,9 @@ def main() -> None:
         "target": 0.8,
     }
     print(json.dumps(result))
+    if "--append-history" in sys.argv:
+        with open(os.path.join(REPO, "BENCH_SCALING_HISTORY.jsonl"), "a") as f:
+            f.write(json.dumps(result) + "\n")
     if "--update-bench" in sys.argv:
         _write_bench_md(result)
 
