@@ -329,6 +329,88 @@ def _kg_ontoguard_bindings(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("repo", "dataset", "entity")
 
 
+def _kg_entity_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: same entity name, different property→type maps, pairwise
+    across dashboards (analyzer.py:123-150)."""
+    from powerbi_ontology_extractor_spark.operators.analytics import (
+        entity_structure_conflicts,
+    )
+    from powerbi_ontology_extractor_spark.operators.extract import extract_all
+
+    dfs = extract_all(_corpus(spark))
+    return entity_structure_conflicts(dfs["properties"]).select(
+        "concept", "dashboard1", "definition1", "dashboard2", "definition2",
+        "severity", "description",
+    ).orderBy("concept", "dashboard1", "dashboard2")
+
+
+def _kg_semantic_debt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: the $50K/$10K debt scalar (analyzer.py:202-238) computed from
+    the live conflict + duplication operators; the by-severity map is
+    rendered as a sorted string for cross-engine hashing."""
+    from powerbi_ontology_extractor_spark.operators.analytics import (
+        duplicate_logic,
+        measure_conflicts,
+        semantic_debt,
+    )
+    from powerbi_ontology_extractor_spark.operators.extract import extract_all
+
+    dfs = extract_all(_corpus(spark))
+    debt = semantic_debt(
+        measure_conflicts(dfs["measures"]), duplicate_logic(dfs["measures"])
+    )
+    sev = F.array_join(
+        F.transform(
+            F.array_sort(F.map_entries(F.col("conflicts_by_severity"))),
+            lambda x: F.concat(x["key"], F.lit(":"), x["value"].cast("string")),
+        ),
+        ",",
+    )
+    return debt.select(
+        F.col("total_conflicts").cast("bigint").alias("total_conflicts"),
+        F.col("total_duplications").cast("bigint").alias("total_duplications"),
+        F.col("total_cost").cast("double").alias("total_cost"),
+        sev.alias("by_severity"),
+    )
+
+
+def _kg_fabric_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T17: Fabric IQ per-entity export docs — properties and outgoing
+    relationships pre-aggregated to sorted JSON (export/fabric_iq.py:
+    32-107; the oracle re-renders the exact JSON strings in DuckDB)."""
+    from powerbi_ontology_extractor_spark.operators.exporters import (
+        fabric_iq_entities,
+    )
+    from powerbi_ontology_extractor_spark.operators.extract import extract_all
+    from powerbi_ontology_extractor_spark.operators.ontology import (
+        generate_ontology,
+    )
+
+    dfs = extract_all(_corpus(spark))
+    onto = generate_ontology(dfs)
+    return fabric_iq_entities(
+        onto["ontology_entities"], dfs["properties"],
+        onto["ontology_relationships"],
+    ).select(
+        "repo", "dataset", "entity", "entity_type",
+        "properties_json", "relationships_json",
+    ).orderBy("repo", "dataset", "entity")
+
+
+def _kg_json_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T18: draft-07 JSON Schema docs per entity (export/json_schema.py:
+    31-99) — exact JSON string agreement with the DuckDB re-render."""
+    from powerbi_ontology_extractor_spark.operators.exporters import (
+        json_schema_docs,
+    )
+    from powerbi_ontology_extractor_spark.operators.extract import extract_all
+
+    dfs = extract_all(_corpus(spark))
+    return json_schema_docs(dfs["entities"], dfs["properties"]).orderBy(
+        "repo", "dataset", "entity"
+    )
+
+
 # --------------------------------------------------------------------------
 # Relational operator queries (TPC-H-ish tables; DuckDB oracles)
 # --------------------------------------------------------------------------
@@ -781,6 +863,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_merged_rules": _kg_merged_rules,
         "kg_contract_permissions": _kg_contract_permissions,
         "kg_ontoguard_bindings": _kg_ontoguard_bindings,
+        "kg_fabric_entities": _kg_fabric_entities,
+        "kg_json_schema": _kg_json_schema,
+        "kg_entity_conflicts": _kg_entity_conflicts,
+        "kg_semantic_debt": _kg_semantic_debt,
         # relational operator families (DuckDB oracle)
         "q_pricing_summary": _q_pricing_summary,
         "q_top_orders": _q_top_orders,
@@ -896,6 +982,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "kg_contract_permissions": kg_oracles.contract_permissions_sql(path),
         "kg_ontoguard_bindings": kg_oracles.ontoguard_bindings_sql(path),
+        "kg_fabric_entities": kg_oracles.fabric_entities_sql(path),
+        "kg_json_schema": kg_oracles.json_schema_sql(path),
+        "kg_entity_conflicts": kg_oracles.entity_conflicts_sql(path),
+        "kg_semantic_debt": kg_oracles.semantic_debt_sql(path),
         "q_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,

@@ -740,33 +740,55 @@ ORDER BY repo, dataset, subj, obj"""
     )
 
 
+# measure-conflict pair CTEs (analyzer.py:79-121 + :319-335 severity) —
+# shared by measure_conflicts_sql and semantic_debt_sql
+_CONFLICTS_CTE = r"""
+mc AS (
+    SELECT lower(mname) AS concept, mname AS name,
+           repo || '/' || dataset AS src, expr AS formula
+    FROM msr),
+mc_ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY concept ORDER BY src, name) AS rnk
+    FROM mc),
+conflicts AS (
+    SELECT a.concept AS concept, a.src AS dashboard1, b.src AS dashboard2,
+           CASE WHEN lower(a.formula) = lower(b.formula) THEN 'LOW'
+                WHEN contains(a.formula, '>') AND contains(b.formula, '>')
+                     AND regexp_extract(a.formula, '[><=]+\s*(\d+)', 1) <> ''
+                     AND regexp_extract(b.formula, '[><=]+\s*(\d+)', 1) <> ''
+                     AND abs(CAST(regexp_extract(a.formula, '[><=]+\s*(\d+)', 1)
+                                  AS BIGINT)
+                             - CAST(regexp_extract(b.formula, '[><=]+\s*(\d+)', 1)
+                                    AS BIGINT)) > 20 THEN 'HIGH'
+                ELSE 'MEDIUM' END AS severity
+    FROM mc_ranked a JOIN mc_ranked b
+      ON a.concept = b.concept AND a.rnk < b.rnk
+    WHERE a.formula <> b.formula)
+"""
+
+# duplicate-logic groups (analyzer.py:154-200), shared likewise
+_DUP_CTE = r"""
+dupg AS (
+    SELECT min(name) AS measure_name,
+           CAST(count(*) AS BIGINT) AS n_dashboards
+    FROM (SELECT mname AS name,
+                 lower(regexp_replace(expr, '\s+', '', 'g')) AS norm
+          FROM msr) m
+    GROUP BY norm HAVING count(*) > 1)
+"""
+
+
 def measure_conflicts_sql(corpus_path: str) -> str:
     """analyzer.py:79-121 pair semantics + :319-335 severity."""
     return (
         "WITH "
         + _prelude(corpus_path)
-        + r""",
-m AS (
-    SELECT lower(mname) AS concept, mname AS name,
-           repo || '/' || dataset AS src, expr AS formula
-    FROM msr),
-ranked AS (
-    SELECT *, row_number() OVER (
-        PARTITION BY concept ORDER BY src, name) AS rnk
-    FROM m)
-SELECT a.concept AS concept, a.src AS dashboard1, b.src AS dashboard2,
-       CASE WHEN lower(a.formula) = lower(b.formula) THEN 'LOW'
-            WHEN contains(a.formula, '>') AND contains(b.formula, '>')
-                 AND regexp_extract(a.formula, '[><=]+\s*(\d+)', 1) <> ''
-                 AND regexp_extract(b.formula, '[><=]+\s*(\d+)', 1) <> ''
-                 AND abs(CAST(regexp_extract(a.formula, '[><=]+\s*(\d+)', 1)
-                              AS BIGINT)
-                         - CAST(regexp_extract(b.formula, '[><=]+\s*(\d+)', 1)
-                                AS BIGINT)) > 20 THEN 'HIGH'
-            ELSE 'MEDIUM' END AS severity
-FROM ranked a JOIN ranked b
-  ON a.concept = b.concept AND a.rnk < b.rnk
-WHERE a.formula <> b.formula
+        + ","
+        + _CONFLICTS_CTE
+        + """
+SELECT concept, dashboard1, dashboard2, severity
+FROM conflicts
 ORDER BY concept, dashboard1, dashboard2"""
     )
 
@@ -778,15 +800,62 @@ def duplicate_logic_sql(corpus_path: str) -> str:
     return (
         "WITH "
         + _prelude(corpus_path)
-        + r""",
-m AS (
-    SELECT repo || '/' || dataset AS src, mname AS name,
-           lower(regexp_replace(expr, '\s+', '', 'g')) AS norm
-    FROM msr)
-SELECT min(name) AS measure_name,
-       CAST(count(*) AS BIGINT) AS n_dashboards
-FROM m GROUP BY norm HAVING count(*) > 1
-ORDER BY measure_name"""
+        + ","
+        + _DUP_CTE
+        + """
+SELECT measure_name, n_dashboards FROM dupg ORDER BY measure_name"""
+    )
+
+
+def entity_conflicts_sql(corpus_path: str) -> str:
+    """A2 (analyzer.py:123-150): same entity name (ci), different
+    {property→type} maps, pairwise across dashboards; the map compare
+    is an order-insensitive sorted-struct-list equality."""
+    return (
+        "WITH "
+        + _prelude(corpus_path)
+        + """,
+ec AS (
+    SELECT lower(entity) AS concept, repo || '/' || dataset AS src,
+           list(struct_pack(property := pname, data_type := otype)
+                ORDER BY pname, otype) AS props,
+           count(*) AS n_props
+    FROM prop GROUP BY 1, 2)
+SELECT a.concept AS concept,
+       a.src AS dashboard1,
+       CAST(a.n_props AS VARCHAR) || ' properties' AS definition1,
+       b.src AS dashboard2,
+       CAST(b.n_props AS VARCHAR) || ' properties' AS definition2,
+       'MEDIUM' AS severity,
+       'Entity ''' || a.concept ||
+           ''' has different properties across dashboards' AS description
+FROM ec a JOIN ec b ON a.concept = b.concept AND a.src < b.src
+WHERE a.props <> b.props
+ORDER BY concept, dashboard1, dashboard2"""
+    )
+
+
+def semantic_debt_sql(corpus_path: str) -> str:
+    """A4 (analyzer.py:202-238): $50K × conflicts + $10K × duplications
+    with the by-severity census, from the SAME conflict/dup grammars as
+    the kg_measure_conflicts / kg_duplicate_logic oracles."""
+    return (
+        "WITH "
+        + _prelude(corpus_path)
+        + ","
+        + _CONFLICTS_CTE
+        + ","
+        + _DUP_CTE
+        + """
+SELECT CAST((SELECT count(*) FROM conflicts) AS BIGINT) AS total_conflicts,
+       CAST((SELECT count(*) FROM dupg) AS BIGINT) AS total_duplications,
+       CAST((SELECT count(*) FROM conflicts) * 50000.0
+            + (SELECT count(*) FROM dupg) * 10000.0 AS DOUBLE) AS total_cost,
+       coalesce((SELECT string_agg(severity || ':' || CAST(n AS VARCHAR),
+                                   ',' ORDER BY severity)
+                 FROM (SELECT severity, count(*) AS n
+                       FROM conflicts GROUP BY severity)), '')
+           AS by_severity"""
     )
 
 
@@ -1359,6 +1428,81 @@ SELECT e.repo AS repo, e.dataset AS dataset, e.entity AS entity,
        coalesce(o.primary_key, '') AS primary_key
 FROM ent2 e LEFT JOIN og o
   ON e.repo = o.repo AND e.dataset = o.dataset AND e.entity = o.entity
+ORDER BY repo, dataset, entity"""
+    )
+
+
+def fabric_entities_sql(corpus_path: str) -> str:
+    """Fabric IQ per-entity export docs (export/fabric_iq.py:32-107):
+    DuckDB re-renders the EXACT sorted JSON strings the engine emits
+    via to_json(array_sort(collect_list(struct(...)))) — DuckDB's
+    to_json uses the same compact `{"k":v}` form, and the ORDER BY in
+    the list aggregate reproduces Spark's struct-tuple array_sort."""
+    return (
+        "WITH "
+        + _prelude(corpus_path)
+        + """,
+fab_props AS (
+    SELECT repo, dataset, entity,
+           to_json(list(struct_pack(
+                       name := pname, type := otype,
+                       required := required, "unique" := uniq)
+                   ORDER BY pname, otype, required, uniq))
+               AS properties_json
+    FROM prop GROUP BY repo, dataset, entity),
+fab_rels AS (
+    SELECT repo, dataset, from_e AS entity,
+           to_json(list(struct_pack(
+                       target := to_e, type := rel_type,
+                       cardinality := card)
+                   ORDER BY to_e, rel_type, card))
+               AS relationships_json
+    FROM rel2 GROUP BY repo, dataset, from_e)
+SELECT e.repo AS repo, e.dataset AS dataset, e.entity AS entity,
+       e.entity_type AS entity_type,
+       coalesce(p.properties_json, '[]') AS properties_json,
+       coalesce(r.relationships_json, '[]') AS relationships_json
+FROM ent2 e
+LEFT JOIN fab_props p
+  ON p.repo = e.repo AND p.dataset = e.dataset AND p.entity = e.entity
+LEFT JOIN fab_rels r
+  ON r.repo = e.repo AND r.dataset = e.dataset AND r.entity = e.entity
+ORDER BY repo, dataset, entity"""
+    )
+
+
+def json_schema_sql(corpus_path: str) -> str:
+    """Draft-07 JSON Schema docs (export/json_schema.py:31-99): the
+    properties map is a DuckDB MAP built from name-sorted lists (same
+    key order as Spark's map_from_entries(array_sort(...))); required[]
+    is the filtered sorted name list; to_json(struct_pack(...)) emits
+    the same compact field order as Spark's to_json(struct(...))."""
+    jt = (
+        "CASE otype WHEN 'String' THEN 'string' WHEN 'Integer' THEN "
+        "'integer' WHEN 'Decimal' THEN 'number' WHEN 'Boolean' THEN "
+        "'boolean' WHEN 'Date' THEN 'string' WHEN 'DateTime' THEN "
+        "'string' ELSE 'string' END"
+    )
+    return (
+        "WITH "
+        + _prelude(corpus_path)
+        + f""",
+js_agg AS (
+    SELECT repo, dataset, entity,
+           map(list(pname ORDER BY pname),
+               list(struct_pack(type := {jt}) ORDER BY pname)) AS props,
+           list(pname ORDER BY pname) FILTER (WHERE required) AS req
+    FROM prop GROUP BY repo, dataset, entity)
+SELECT e.repo AS repo, e.dataset AS dataset, e.entity AS entity,
+       to_json(struct_pack(
+           "$schema" := 'http://json-schema.org/draft-07/schema#',
+           title := e.entity,
+           type := 'object',
+           properties := a.props,
+           required := coalesce(a.req, []))) AS json_schema
+FROM ent2 e
+LEFT JOIN js_agg a
+  ON a.repo = e.repo AND a.dataset = e.dataset AND a.entity = e.entity
 ORDER BY repo, dataset, entity"""
     )
 
