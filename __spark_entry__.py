@@ -259,6 +259,24 @@ def _kg_diff_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy(*CHANGE_COLS)
 
 
+def _kg_diff_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6: change counts by change_type × element_type with cube
+    subtotals (ontology_diff.py:84-97); subtotal NULLs coalesced to
+    '(all)' for cross-engine hashing."""
+    from powerbi_ontology_extractor_spark.operators.diff import (
+        diff_ontologies,
+        diff_summary,
+    )
+
+    fam = _onto_families(spark, [_DIFF_SRC, _DIFF_TGT])
+    s = diff_summary(diff_ontologies(fam(_DIFF_SRC), fam(_DIFF_TGT)))
+    return s.select(
+        F.coalesce("change_type", F.lit("(all)")).alias("change_type"),
+        F.coalesce("element_type", F.lit("(all)")).alias("element_type"),
+        F.col("count").cast("bigint").alias("n"),
+    ).orderBy("change_type", "element_type")
+
+
 def _kg_merge_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F8: three-way merge conflict set (paths changed on both sides,
     ontology_diff.py:617-618)."""
@@ -859,6 +877,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_schema_drift": _kg_drift,
         "kg_fabric_owl_by_pred": _kg_fabric_owl,
         "kg_diff_changes": _kg_diff_changes,
+        "kg_diff_summary": _kg_diff_summary,
         "kg_merge_conflicts": _kg_merge_conflicts,
         "kg_merged_rules": _kg_merged_rules,
         "kg_contract_permissions": _kg_contract_permissions,
@@ -972,6 +991,9 @@ def oracle_sql() -> dict[str, str]:
         "kg_schema_drift": kg_oracles.schema_drift_sql(path),
         "kg_fabric_owl_by_pred": kg_oracles.fabric_owl_by_pred_sql(path),
         "kg_diff_changes": kg_oracles.diff_changes_sql(
+            path, _DIFF_SRC, _DIFF_TGT
+        ),
+        "kg_diff_summary": kg_oracles.diff_summary_sql(
             path, _DIFF_SRC, _DIFF_TGT
         ),
         "kg_merge_conflicts": kg_oracles.merge_conflicts_sql(

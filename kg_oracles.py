@@ -1314,6 +1314,25 @@ ORDER BY change_type, element_type, element_name, path,
     )
 
 
+def diff_summary_sql(corpus_path: str, src: str, tgt: str) -> str:
+    """F6 cube summary (ontology_diff.py:84-97) over the same diff."""
+    return (
+        "WITH "
+        + _prelude(corpus_path)
+        + ","
+        + _RULES
+        + ","
+        + _diff_block("d", src, tgt)
+        + """
+SELECT coalesce(change_type, '(all)') AS change_type,
+       coalesce(element_type, '(all)') AS element_type,
+       CAST(count(*) AS BIGINT) AS n
+FROM ch_d
+GROUP BY CUBE (change_type, element_type)
+ORDER BY change_type, element_type"""
+    )
+
+
 def merge_conflicts_sql(
     corpus_path: str, base: str, ours: str, theirs: str
 ) -> str:
