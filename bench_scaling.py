@@ -34,13 +34,25 @@ from pyspark.sql import SparkSession
 n_exec = int(sys.argv[1]); corpus_path = sys.argv[2]
 cores_per_exec = int(os.environ.get("PBI_KG_EXEC_CORES", "1"))
 mem_mb = int(os.environ.get("PBI_KG_EXEC_MEM_MB", "6144"))
+# Shuffle sizing (identical at BOTH cluster sizes): the flagship's one
+# exchange is the full-row set-dedup (~760 MB at 36k repos); its hash
+# tables must fit in cache, not DRAM.  With n_exec*2 partitions the
+# final aggregate ran 8 tasks x ~780 MB tables — DRAM-random-access
+# that the executors contend on (measured: 4-exec emission 90.7 s).
+# 64 partitions x ~12 MB advisory-coalesced tables are cache-resident
+# (measured: 4-exec wall 135.7 -> 99.2 s; 1-exec unchanged).  On a real
+# cluster this is the standard  partitions ≈ shuffle_bytes / ~16 MB
+# sizing rule.
+shuffle_parts = os.environ.get("PBI_KG_SHUFFLE_PARTS", "64")
+advisory = os.environ.get("PBI_KG_ADVISORY_PART_BYTES", "16m")
 spark = (
     SparkSession.builder
     .master(f"local-cluster[{n_exec},{cores_per_exec},{mem_mb}]")
     .appName(f"scaling-{n_exec}x")
-    .config("spark.sql.shuffle.partitions", str(max(n_exec * cores_per_exec * 2, 8)))
+    .config("spark.sql.shuffle.partitions", shuffle_parts)
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", advisory)
     .config("spark.sql.execution.arrow.pyspark.enabled", "true")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
