@@ -15,8 +15,24 @@ from pyspark.sql import functions as F
 
 from powerbi_ontology_extractor_spark.functions.layout import report_triples
 from powerbi_ontology_extractor_spark.functions.mquery import m_datasource_triples
-from powerbi_ontology_extractor_spark.operators.extract import extract_all
-from powerbi_ontology_extractor_spark.operators.ontology import generate_ontology
+from powerbi_ontology_extractor_spark.operators.extract import (
+    checkpoint_parallel,
+    entities_df,
+    extract_all,
+    hierarchies_df,
+    measures_df,
+    parse_models,
+    properties_df,
+    relationships_df,
+    security_rules_df,
+)
+from powerbi_ontology_extractor_spark.operators.ontology import (
+    business_rules_df,
+    generate_ontology,
+    ontology_entities_from_models,
+    ontology_relationships_df,
+    suggest_enhancements,
+)
 from powerbi_ontology_extractor_spark.operators.constraints_io import (
     enhancement_property_constraints,
     sidecar_entity_constraints,
@@ -67,6 +83,62 @@ def _full_barriers(corpus: DataFrame, barrier: str | bool) -> bool:
     return bool(barrier)
 
 
+def _extract_generate_single_barrier(
+    corpus: DataFrame,
+) -> tuple[dict[str, DataFrame], dict[str, DataFrame]]:
+    """models checkpoint → ONE concurrent barrier round for every frame
+    the emission fan-out consumes (flat families + Arrow-parsed
+    measures + typed entities).
+
+    extract_all + generate_ontology run TWO serial rounds because
+    parsed_measures/ontology_entities sit behind the extract stage in
+    the API; in the pipeline everything derives from the models
+    checkpoint, so one round suffices — each round costs max(job
+    latency), and round latency is pure serial time that lands on the
+    multi-executor level's denominator (measured ~6-10 s at 36k repos).
+    """
+    from powerbi_ontology_extractor_spark.functions.dax import parse_measures
+
+    # models MUST be eager-checkpointed BEFORE the concurrent round:
+    # concurrent jobs over an unmaterialized cache stampede it and
+    # re-parse every model JSON 30-40x
+    models = parse_models(corpus).localCheckpoint(eager=True)
+    measures = measures_df(models, corpus)
+    frames = {
+        "measures": measures,
+        "datasets": models.select("repo", "dataset", "path").dropDuplicates(
+            ["repo", "dataset"]
+        ),
+        "properties": properties_df(models),
+        "relationships": relationships_df(models),
+        "security_rules": security_rules_df(models),
+        "parsed_measures": parse_measures(measures),
+        "ontology_entities": ontology_entities_from_models(models),
+    }
+    keys = list(frames)
+    ckpt = dict(zip(keys, checkpoint_parallel([frames[k] for k in keys])))
+    model_dfs = {
+        "models": models,
+        "entities": entities_df(models),
+        "hierarchies": hierarchies_df(models),
+        "measures": ckpt["measures"],
+        "datasets": ckpt["datasets"],
+        "properties": ckpt["properties"],
+        "relationships": ckpt["relationships"],
+        "security_rules": ckpt["security_rules"],
+    }
+    onto_dfs = {
+        "parsed_measures": ckpt["parsed_measures"],
+        "ontology_entities": ckpt["ontology_entities"],
+        "ontology_relationships": ontology_relationships_df(
+            ckpt["relationships"]
+        ),
+        "business_rules": business_rules_df(ckpt["parsed_measures"]),
+        "enhancements": suggest_enhancements(ckpt["properties"]),
+    }
+    return model_dfs, onto_dfs
+
+
 def build_triples(
     corpus: DataFrame,
     roles: list[str] = DEFAULT_ROLES,
@@ -86,8 +158,11 @@ def build_triples(
     default stays True).
     """
     full = _full_barriers(corpus, barrier)
-    model_dfs = extract_all(corpus, materialize=True, family_barrier=full)
-    onto_dfs = generate_ontology(model_dfs, materialize=full)
+    if full:
+        model_dfs, onto_dfs = _extract_generate_single_barrier(corpus)
+    else:
+        model_dfs = extract_all(corpus, materialize=True, family_barrier=False)
+        onto_dfs = generate_ontology(model_dfs, materialize=False)
     triples = export_triples(onto_dfs, model_dfs, roles, generated_at, dedup=False)
     triples = triples.unionByName(_constraint_triples(corpus, onto_dfs))
     if include_latent_surfaces:
@@ -117,8 +192,11 @@ def build_triples_canonicalized(
     )
 
     full = _full_barriers(corpus, barrier)
-    model_dfs = extract_all(corpus, materialize=True, family_barrier=full)
-    onto_dfs = generate_ontology(model_dfs, materialize=full)
+    if full:
+        model_dfs, onto_dfs = _extract_generate_single_barrier(corpus)
+    else:
+        model_dfs = extract_all(corpus, materialize=True, family_barrier=False)
+        onto_dfs = generate_ontology(model_dfs, materialize=False)
     triples = export_triples(onto_dfs, model_dfs, roles, generated_at, dedup=False)
     triples = (
         triples.unionByName(_constraint_triples(corpus, onto_dfs))
