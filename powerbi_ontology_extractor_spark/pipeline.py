@@ -104,8 +104,11 @@ def _extract_generate_single_barrier(
     # re-parse every model JSON 30-40x
     models = parse_models(corpus).localCheckpoint(eager=True)
     measures = measures_df(models, corpus)
+    # NOTE: raw `measures` is deliberately NOT in the round — the
+    # export union never scans it (only parsed_measures), and
+    # checkpointing it both wasted a job and derived the frame twice
+    # (measured +1.9 s at local[32]/400 repos)
     frames = {
-        "measures": measures,
         "datasets": models.select("repo", "dataset", "path").dropDuplicates(
             ["repo", "dataset"]
         ),
@@ -121,7 +124,7 @@ def _extract_generate_single_barrier(
         "models": models,
         "entities": entities_df(models),
         "hierarchies": hierarchies_df(models),
-        "measures": ckpt["measures"],
+        "measures": measures,
         "datasets": ckpt["datasets"],
         "properties": ckpt["properties"],
         "relationships": ckpt["relationships"],
