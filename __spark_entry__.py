@@ -709,6 +709,28 @@ def _q_events_hourly(spark, sf_dir):
     )
 
 
+def _q_events_sessions(spark, sf_dir):
+    """Gap sessionization (30-min) via streaming/ingest.sessionize_batch
+    — the batch twin of the applyInPandasWithState operator, under the
+    DuckDB gaps-and-islands oracle.  Both engines use the default RANGE
+    window frame, so tied timestamps behave identically; total_value is
+    rounded to absorb FP-order ulps."""
+    from powerbi_ontology_extractor_spark.streaming.ingest import (
+        sessionize_batch,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    s = sessionize_batch(e, gap_minutes=30)
+    return s.select(
+        "user_id",
+        F.col("session_id").cast("bigint").alias("session_id"),
+        F.unix_timestamp("session_start").cast("bigint").alias("start_epoch"),
+        F.unix_timestamp("session_end").cast("bigint").alias("end_epoch"),
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.round(F.col("total_value"), 4).alias("total_value"),
+    ).orderBy("user_id", "session_id")
+
+
 def _q_events_filter_pushdown(spark, sf_dir):
     """Filter + projection that must push to the parquet scan."""
     e = _t(spark, sf_dir, "events")
@@ -905,6 +927,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_safe_names": _q_safe_names,
         "q_lineitem_year_volume": _q_lineitem_year_volume,
         "q_events_hourly": _q_events_hourly,
+        "q_events_sessions": _q_events_sessions,
         "q_events_filter_pushdown": _q_events_filter_pushdown,
         # training-data ops (DuckDB oracle)
         "q_docs_exact_dup_groups": _q_docs_exact_dup_groups,
@@ -1143,6 +1166,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n,
                    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
             FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "q_events_sessions": """
+            WITH x AS (
+                SELECT user_id, ts, value,
+                       CASE WHEN lag(ts) OVER w IS NULL THEN 1
+                            WHEN floor(epoch(ts)) -
+                                 floor(epoch(lag(ts) OVER w)) > 1800
+                                THEN 1
+                            ELSE 0 END AS new_s
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+            s AS (
+                SELECT *, SUM(new_s) OVER (
+                    PARTITION BY user_id ORDER BY ts) AS session_id
+                FROM x)
+            SELECT user_id,
+                   CAST(session_id AS BIGINT) AS session_id,
+                   CAST(floor(epoch(min(ts))) AS BIGINT) AS start_epoch,
+                   CAST(floor(epoch(max(ts))) AS BIGINT) AS end_epoch,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   ROUND(SUM(value), 4) AS total_value
+            FROM s GROUP BY user_id, session_id
+            ORDER BY user_id, session_id
         """,
         "q_events_filter_pushdown": """
             SELECT event_id, user_id FROM events
