@@ -841,6 +841,46 @@ def _q_docs_ngram_jaccard_adjacent(spark, sf_dir):
     )
 
 
+def _q_ntriples_render(spark, sf_dir):
+    """T14 serialization under the oracle: deterministic triples built
+    from the part table — bnode subjects, ont:/rdfs:/absolute-URI
+    predicates, plain + datatype-tagged literals with injected
+    backslash/quote content — rendered by triples.ntriples_lines; the
+    DuckDB oracle re-implements the expansion/escaping grammar."""
+    from powerbi_ontology_extractor_spark.operators.triples import (
+        ntriples_lines,
+    )
+
+    p = _t(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    subj = F.when(
+        k % 7 == 0, F.concat(F.lit("_:b"), k.cast("string"))
+    ).otherwise(F.concat(F.lit("ont:part_"), k.cast("string")))
+    kind = k % 3
+    pred = (
+        F.when(kind == 0, F.lit("ont:size"))
+        .when(kind == 1, F.lit("rdfs:comment"))
+        .otherwise(F.lit("http://example.org/vocab/brand"))
+    )
+    obj = (
+        F.when(kind == 0, F.col("p_size").cast("string"))
+        .when(kind == 1, F.concat(F.col("p_name"), F.lit(' say "q\\e"')))
+        .otherwise(F.concat(F.lit("ont:brand_"), F.col("p_brand")))
+    )
+    t = p.select(
+        F.lit("r").alias("repo"),
+        F.lit("Parts DS").alias("dataset"),
+        subj.alias("subj"),
+        pred.alias("pred"),
+        obj.alias("obj"),
+        (kind != 2).alias("obj_is_literal"),
+        F.when(kind == 0, F.lit("xsd:integer")).otherwise(F.lit("")).alias(
+            "obj_datatype"
+        ),
+    )
+    return ntriples_lines(t).select("ntriple").orderBy("ntriple")
+
+
 def _q_embed_topk(spark, sf_dir):
     """Brute-force cosine top-k vs vec_id=0 (ANN baseline)."""
     from powerbi_ontology_extractor_spark.operators.dedup import (
@@ -936,6 +976,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_docs_stopword_ratio": _q_docs_stopword_ratio,
         "q_docs_lang_distribution": _q_docs_lang_distribution,
         "q_docs_ngram_jaccard_adjacent": _q_docs_ngram_jaccard_adjacent,
+        "q_ntriples_render": _q_ntriples_render,
         "q_embed_topk": _q_embed_topk,
         "q_embed_label_centroid_norm": _q_embed_label_centroid_norm,
     }
@@ -1256,6 +1297,39 @@ def oracle_sql() -> dict[str, str]:
                    END AS jaccard
             FROM g a JOIN g b ON b.doc_id = a.doc_id + 1
             ORDER BY id1
+        """,
+        "q_ntriples_render": """
+            WITH t AS (
+                SELECT CASE WHEN p_partkey % 7 = 0
+                            THEN '_:b' || CAST(p_partkey AS VARCHAR)
+                            ELSE 'ont:part_' || CAST(p_partkey AS VARCHAR)
+                       END AS subj,
+                       p_partkey % 3 AS kind,
+                       CASE p_partkey % 3
+                            WHEN 0 THEN CAST(p_size AS VARCHAR)
+                            WHEN 1 THEN p_name || ' say "q\\e"'
+                            ELSE 'ont:brand_' || p_brand END AS obj
+                FROM part),
+            r AS (
+                SELECT
+                    CASE WHEN starts_with(subj, '_:') THEN subj
+                         ELSE '<http://example.com/ontologies/Parts_DS#'
+                              || substr(subj, 5) || '>' END AS s,
+                    CASE WHEN kind = 0
+                         THEN '<http://example.com/ontologies/Parts_DS#size>'
+                         WHEN kind = 1
+                         THEN '<http://www.w3.org/2000/01/rdf-schema#comment>'
+                         ELSE '<http://example.org/vocab/brand>' END AS p,
+                    CASE WHEN kind = 0 THEN '"' || obj ||
+                              '"^^<http://www.w3.org/2001/XMLSchema#integer>'
+                         WHEN kind = 1 THEN '"' ||
+                              replace(replace(obj, '\\', '\\\\'), '"', '\\"')
+                              || '"'
+                         ELSE '<http://example.com/ontologies/Parts_DS#'
+                              || substr(obj, 5) || '>' END AS o
+                FROM t)
+            SELECT s || ' ' || p || ' ' || o || ' .' AS ntriple
+            FROM r ORDER BY ntriple
         """,
         "q_embed_topk": """
             WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv

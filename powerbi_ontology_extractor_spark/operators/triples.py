@@ -696,8 +696,12 @@ def ntriples_lines(
             )
         return out.otherwise(F.concat(F.lit("<"), col, F.lit(">")))
 
+    # NB: Java regexp replacement strings unescape `\x` — the quote
+    # escape needs a DOUBLED backslash in the replacement or the output
+    # is a bare `"` (invalid N-Triples; caught by the q_ntriples_render
+    # DuckDB oracle)
     lit_escaped = F.regexp_replace(
-        F.regexp_replace(F.col("obj"), r"\\", r"\\\\"), '"', '\\"'
+        F.regexp_replace(F.col("obj"), r"\\", r"\\\\"), '"', '\\\\"'
     )
     obj = F.when(
         F.col("obj_is_literal"),

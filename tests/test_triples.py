@@ -282,3 +282,19 @@ def test_ntriples_serialization(mini_triples):
         '<http://example.com/ontologies/Mini#Ship> '
         '<http://www.w3.org/2000/01/rdf-schema#label> "Ship" .' in lines
     )
+
+
+def test_ntriples_escapes_quotes_and_backslashes(spark):
+    """Quote/backslash escaping in literals (the Java-replacement
+    unescaping pitfall the DuckDB oracle caught)."""
+    from powerbi_ontology_extractor_spark.operators.triples import (
+        ntriples_lines,
+    )
+
+    t = spark.createDataFrame(
+        [("r", "D", "ont:x", "rdfs:comment", 'say "hi" \\ done', True, "")],
+        "repo string, dataset string, subj string, pred string, "
+        "obj string, obj_is_literal boolean, obj_datatype string",
+    )
+    line = ntriples_lines(t).first()["ntriple"]
+    assert '"say \\"hi\\" \\\\ done"' in line
