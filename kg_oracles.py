@@ -367,7 +367,7 @@ def _triple_families(generated_at: str) -> str:
     """All triple families as (repo, dataset, subj, pred, obj) CTEs."""
     e_uri = "'ont:' || " + _safe("entity")
     p_uri = "'ont:' || " + _safe("entity") + " || '_' || " + _safe("pname")
-    return f"""
+    return rf"""
 t_meta AS (  -- owl.py:114-127
     SELECT repo, dataset, u.s AS subj, u.p AS pred, u.o AS obj
     FROM model, UNNEST([
