@@ -159,8 +159,11 @@ def _kg_fabric_owl(spark: SparkSession, sf_dir: str) -> DataFrame:
         generate_ontology,
     )
 
-    dfs = extract_all(_corpus(spark))
-    onto = generate_ontology(dfs)
+    # materialize=True: the T16 emission fans out over entities/
+    # properties/relationships/rules — 9 corpus scans without the
+    # barrier (PLANS.md r3)
+    dfs = extract_all(_corpus(spark), materialize=True)
+    onto = generate_ontology(dfs, materialize=True)
     t = fabric_iq_owl_triples(
         onto["ontology_entities"],
         dfs["properties"],
@@ -228,9 +231,14 @@ def _onto_families(spark: SparkSession, repos: list[str]):
         generate_ontology,
     )
 
+    # materialize=True on BOTH stages: each diff leg composes 5
+    # full-outer-join families over these frames — without the
+    # checkpoint barriers the three-way merge re-scanned the
+    # full-`content` corpus up to 90× (PLANS.md r3); with them the
+    # families are derived once and every join reads checkpoint blocks
     corpus = _corpus(spark).where(F.col("repo").isin(repos))
-    dfs = extract_all(corpus)
-    onto = generate_ontology(dfs)
+    dfs = extract_all(corpus, materialize=True)
+    onto = generate_ontology(dfs, materialize=True)
 
     def fam(repo: str) -> dict[str, DataFrame]:
         pick = lambda df: df.where(F.col("repo") == repo)
@@ -373,7 +381,10 @@ def _kg_semantic_debt(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from powerbi_ontology_extractor_spark.operators.extract import extract_all
 
-    dfs = extract_all(_corpus(spark))
+    # materialize=True: conflicts + duplications + the severity census
+    # all re-derive measures — 9 corpus scans without the barrier
+    # (PLANS.md r3)
+    dfs = extract_all(_corpus(spark), materialize=True)
     debt = semantic_debt(
         measure_conflicts(dfs["measures"]), duplicate_logic(dfs["measures"])
     )

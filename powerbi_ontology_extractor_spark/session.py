@@ -37,6 +37,12 @@ def get_spark(
         .config("spark.default.parallelism", str(max(cores, 8)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # cache-sized final-agg hash tables: the global triple set-dedup
+        # is the scaling bottleneck when its per-task tables spill out
+        # of LLC into DRAM (measured: 8 tasks × 780 MB tables scaled
+        # 2.7×; 16 MB advisory targets → 3.6-3.9× at 4 executors,
+        # hi-level wall 135.7→99.2 s at 36k repos — see BENCH.md)
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
