@@ -320,6 +320,36 @@ def _kg_merged_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kg_diff_all_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs ontology diff in ONE job (diff.diff_all_pairs — the
+    cross-dashboard analog of the reference CLI's per-pair loop,
+    cli.py:137-154): change census by (src_repo, tgt_repo, change_type,
+    element_type) over every repo pair of the corpus fixture."""
+    from powerbi_ontology_extractor_spark.operators.diff import (
+        diff_all_pairs,
+    )
+    from powerbi_ontology_extractor_spark.operators.extract import extract_all
+    from powerbi_ontology_extractor_spark.operators.ontology import (
+        generate_ontology,
+    )
+
+    dfs = extract_all(_corpus(spark), materialize=True)
+    onto = generate_ontology(dfs, materialize=True)
+    changes = diff_all_pairs(
+        {
+            "entities": onto["ontology_entities"],
+            "properties": dfs["properties"],
+            "relationships": onto["ontology_relationships"],
+            "business_rules": onto["business_rules"],
+        }
+    )
+    return (
+        changes.groupBy("src_repo", "tgt_repo", "change_type", "element_type")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .orderBy("src_repo", "tgt_repo", "change_type", "element_type")
+    )
+
+
 def _kg_contract_permissions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C1-C2: agent read-set per dashboard — entity names ∪ relationship
     endpoints ∪ measure-dependency tables (contract_builder.py:113-151)."""
@@ -400,6 +430,127 @@ def _kg_semantic_debt(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("total_duplications").cast("bigint").alias("total_duplications"),
         F.col("total_cost").cast("double").alias("total_cost"),
         sev.alias("by_severity"),
+    )
+
+
+def _kg_export_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T13: per-dataset export census (owl.py:513-548) over the FULL
+    triple build — the flagship ``entry()``'s own return value, now
+    under the DuckDB oracle (the oracle recomputes every triple family
+    and re-aggregates the census independently)."""
+    from powerbi_ontology_extractor_spark.pipeline import (
+        build_triples,
+        export_summary,
+    )
+
+    s = export_summary(build_triples(_corpus(spark)))
+    return s.select(
+        "repo",
+        "dataset",
+        F.col("total_triples").cast("bigint").alias("total_triples"),
+        F.col("classes").cast("bigint").alias("classes"),
+        F.col("datatype_properties").cast("bigint").alias(
+            "datatype_properties"
+        ),
+        F.col("object_properties").cast("bigint").alias("object_properties"),
+        F.col("action_rules").cast("bigint").alias("action_rules"),
+    ).orderBy("repo", "dataset")
+
+
+def _kg_contract_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T15: agent-contract OWL emission (export/contract_to_owl.py:
+    69-111) — ReadAction instances with appliesTo/requiresRole/
+    allowsAction/grantedBy per granted entity of the C1-C2 read set."""
+    from powerbi_ontology_extractor_spark.operators.contracts import (
+        contract_triples,
+        permissions_from_dashboard,
+    )
+    from powerbi_ontology_extractor_spark.operators.extract import extract_all
+
+    dfs = extract_all(_corpus(spark), materialize=True)
+    rs = permissions_from_dashboard(
+        dfs["entities"], dfs["relationships"], dfs["measures"]
+    )
+    return contract_triples(rs).select(
+        "repo", "dataset", "subj", "pred", "obj", "obj_is_literal"
+    ).orderBy("repo", "dataset", "subj", "pred", "obj")
+
+
+def _kg_canonical_definitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: canonical-definition suggester (analyzer.py:240-295) — mode
+    of the normalized formula per multiply-defined measure name, with
+    confidence = mode_count / total and the exemplar source sets
+    rendered as sorted joined strings for cross-engine hashing."""
+    from powerbi_ontology_extractor_spark.operators.analytics import (
+        canonical_definitions,
+    )
+    from powerbi_ontology_extractor_spark.operators.extract import extract_all
+
+    dfs = extract_all(_corpus(spark), materialize=True)
+    cd = canonical_definitions(dfs["measures"])
+    return cd.select(
+        "name",
+        "suggested_definition",
+        F.round(F.col("confidence"), 6).alias("confidence"),
+        F.array_join("dashboards_using", "|").alias("dashboards_using"),
+        F.array_join(F.array_sort("alternative_sources"), "|").alias(
+            "alternative_sources"
+        ),
+    ).orderBy("name")
+
+
+def _kg_debt_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7-A9: the three SQL-expressible SemanticDebtAnalyzer conflict
+    families (semantic_debt.py:334-460) — entity property-set overlap
+    (severity by |∩|/|∪| ratio), property-type CRITICALs, and
+    relationship-cardinality WARNINGs — unioned on a common schema with
+    family-specific payloads rendered to strings.  A10 (rule_conflicts)
+    has no SQL analogue for difflib.SequenceMatcher.ratio() and stays
+    pytest-pinned (tests/test_analytics.py)."""
+    from powerbi_ontology_extractor_spark.operators.analytics import (
+        entity_conflicts_debt,
+        property_type_conflicts,
+        relationship_conflicts,
+    )
+    from powerbi_ontology_extractor_spark.operators.extract import extract_all
+
+    dfs = extract_all(_corpus(spark), materialize=True)
+    na_ratio = F.lit(-1.0)
+    ec = entity_conflicts_debt(dfs["properties"]).select(
+        "conflict_type",
+        "severity",
+        "name",
+        F.array_join("sources", "|").alias("sources"),
+        F.concat(
+            F.lit("only1="),
+            F.array_join("only_in_1", ","),
+            F.lit(";only2="),
+            F.array_join("only_in_2", ","),
+        ).alias("detail"),
+        F.round(F.col("overlap_ratio"), 6).alias("overlap_ratio"),
+    )
+    tc = property_type_conflicts(dfs["properties"]).select(
+        "conflict_type",
+        "severity",
+        "name",
+        F.array_join("sources", "|").alias("sources"),
+        F.concat(F.lit("types="), F.array_join("types", ",")).alias("detail"),
+        na_ratio.alias("overlap_ratio"),
+    )
+    rc = relationship_conflicts(dfs["relationships"]).select(
+        "conflict_type",
+        "severity",
+        "name",
+        F.array_join("sources", "|").alias("sources"),
+        F.concat(F.lit("cards="), F.array_join("cardinalities", ",")).alias(
+            "detail"
+        ),
+        na_ratio.alias("overlap_ratio"),
+    )
+    return (
+        ec.unionByName(tc)
+        .unionByName(rc)
+        .orderBy("conflict_type", "name", "sources")
     )
 
 
@@ -959,6 +1110,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_json_schema": _kg_json_schema,
         "kg_entity_conflicts": _kg_entity_conflicts,
         "kg_semantic_debt": _kg_semantic_debt,
+        "kg_canonical_definitions": _kg_canonical_definitions,
+        "kg_debt_conflicts": _kg_debt_conflicts,
+        "kg_export_summary": _kg_export_summary,
+        "kg_contract_triples": _kg_contract_triples,
+        "kg_diff_all_pairs": _kg_diff_all_pairs,
         # relational operator families (DuckDB oracle)
         "q_pricing_summary": _q_pricing_summary,
         "q_top_orders": _q_top_orders,
@@ -1083,6 +1239,13 @@ def oracle_sql() -> dict[str, str]:
         "kg_json_schema": kg_oracles.json_schema_sql(path),
         "kg_entity_conflicts": kg_oracles.entity_conflicts_sql(path),
         "kg_semantic_debt": kg_oracles.semantic_debt_sql(path),
+        "kg_canonical_definitions": kg_oracles.canonical_definitions_sql(path),
+        "kg_debt_conflicts": kg_oracles.debt_conflicts_sql(path),
+        "kg_export_summary": kg_oracles.export_summary_sql(path),
+        "kg_contract_triples": kg_oracles.contract_triples_sql(path),
+        "kg_diff_all_pairs": kg_oracles.diff_all_pairs_summary_sql(
+            path, [f"org{i}/dashboards-{i}" for i in range(_KG_REPOS)]
+        ),
         "q_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,

@@ -723,6 +723,76 @@ FROM triples GROUP BY pred ORDER BY pred"""
     )
 
 
+def export_summary_sql(
+    corpus_path: str, generated_at: str = "1970-01-01T00:00:00"
+) -> str:
+    """T13 export census (owl.py:513-548): per (repo, dataset) —
+    total triples, distinct owl:Class / owl:DatatypeProperty /
+    owl:ObjectProperty subjects, and rdf:type rows into the four
+    Action classes — recomputed over the full triple-family union."""
+    actions = "('ont:ReadAction','ont:WriteAction','ont:DeleteAction','ont:ExecuteAction')"
+    return (
+        "WITH "
+        + _prelude(corpus_path)
+        + ","
+        + _RULES
+        + ","
+        + _ALL_MEASURES
+        + ","
+        + _triple_families(generated_at)
+        + f"""
+SELECT repo, dataset,
+       CAST(count(*) AS BIGINT) AS total_triples,
+       CAST(count(DISTINCT CASE WHEN pred = 'rdf:type'
+            AND obj = 'owl:Class' THEN subj END) AS BIGINT) AS classes,
+       CAST(count(DISTINCT CASE WHEN pred = 'rdf:type'
+            AND obj = 'owl:DatatypeProperty' THEN subj END) AS BIGINT)
+           AS datatype_properties,
+       CAST(count(DISTINCT CASE WHEN pred = 'rdf:type'
+            AND obj = 'owl:ObjectProperty' THEN subj END) AS BIGINT)
+           AS object_properties,
+       CAST(count(CASE WHEN pred = 'rdf:type'
+            AND obj IN {actions} THEN 1 END) AS BIGINT) AS action_rules
+FROM triples GROUP BY repo, dataset ORDER BY repo, dataset"""
+    )
+
+
+def contract_triples_sql(corpus_path: str) -> str:
+    """T15 contract→OWL emission (export/contract_to_owl.py:69-111):
+    5 ReadAction triples per granted entity of the C1-C2 read set
+    (default agent='agent', role='Viewer', permission='read')."""
+    safe_e = _safe("entity")
+    return (
+        "WITH "
+        + _prelude(corpus_path)
+        + ","
+        + _ALL_MEASURES
+        + f""",
+perm_src AS (
+    SELECT repo, dataset, entity FROM ent2
+    UNION ALL
+    SELECT repo, dataset, from_e AS entity FROM rel2
+    UNION ALL
+    SELECT repo, dataset, to_e AS entity FROM rel2
+    UNION ALL
+    SELECT repo, dataset, string_split(dep, '.')[1] AS entity
+    FROM (SELECT repo, dataset, unnest(deps) AS dep
+          FROM dep_lists WHERE dataset <> 'Standalone')
+    WHERE contains(dep, '.')),
+rs AS (SELECT DISTINCT repo, dataset, entity FROM perm_src)
+SELECT repo, dataset,
+       'ont:contract_agent_read_' || {safe_e} AS subj,
+       u.p AS pred, u.o AS obj, u.l AS obj_is_literal
+FROM rs, UNNEST([
+    {{'p': 'rdf:type', 'o': 'ont:ReadAction', 'l': FALSE}},
+    {{'p': 'ont:appliesTo', 'o': 'ont:' || {safe_e}, 'l': FALSE}},
+    {{'p': 'ont:requiresRole', 'o': 'ont:Viewer', 'l': FALSE}},
+    {{'p': 'ont:allowsAction', 'o': 'read', 'l': TRUE}},
+    {{'p': 'ont:grantedBy', 'o': 'agent', 'l': TRUE}}]) AS _(u)
+ORDER BY repo, dataset, subj, pred, obj"""
+    )
+
+
 def lineage_edges_sql(corpus_path: str) -> str:
     return (
         "WITH "
@@ -856,6 +926,109 @@ SELECT CAST((SELECT count(*) FROM conflicts) AS BIGINT) AS total_conflicts,
                  FROM (SELECT severity, count(*) AS n
                        FROM conflicts GROUP BY severity)), '')
            AS by_severity"""
+    )
+
+
+def canonical_definitions_sql(corpus_path: str) -> str:
+    """A5 (analyzer.py:240-295): per multiply-defined measure name, the
+    mode of the whitespace-stripped lowercase formula is the suggested
+    canonical; confidence = mode_count / total.  Tie-break = (count
+    DESC, normalized formula ASC), same as the engine's window."""
+    return (
+        "WITH "
+        + _prelude(corpus_path)
+        + r""",
+cdm AS (
+    SELECT lower(mname) AS name, repo || '/' || dataset AS src,
+           lower(regexp_replace(expr, '\s+', '', 'g')) AS norm
+    FROM msr),
+cd_counts AS (
+    SELECT name, norm, count(*) AS cnt, list_sort(list(src)) AS srcs
+    FROM cdm GROUP BY name, norm),
+cd_tot AS (
+    SELECT name, sum(cnt) AS total FROM cd_counts
+    GROUP BY name HAVING sum(cnt) > 1),
+cd_rank AS (
+    SELECT c.*, t.total,
+           row_number() OVER (PARTITION BY c.name
+                              ORDER BY c.cnt DESC, c.norm) AS rk
+    FROM cd_counts c JOIN cd_tot t USING (name)),
+cd_alt AS (
+    SELECT name, flatten(list(srcs)) AS alts
+    FROM cd_rank WHERE rk > 1 GROUP BY name)
+SELECT r.name AS name,
+       r.norm AS suggested_definition,
+       ROUND(CAST(r.cnt AS DOUBLE) / r.total, 6) AS confidence,
+       array_to_string(r.srcs, '|') AS dashboards_using,
+       coalesce(array_to_string(list_sort(a.alts), '|'), '')
+           AS alternative_sources
+FROM cd_rank r LEFT JOIN cd_alt a USING (name)
+WHERE r.rk = 1
+ORDER BY name"""
+    )
+
+
+def debt_conflicts_sql(corpus_path: str) -> str:
+    """A7-A9 (semantic_debt.py:334-460): entity property-set conflicts
+    (severity by overlap ratio: <0.5 CRITICAL, <0.8 WARNING, else
+    INFO), property-type conflicts (always CRITICAL), and
+    relationship-cardinality conflicts (WARNING), on the common
+    (conflict_type, severity, name, sources, detail, overlap_ratio)
+    schema; overlap_ratio is -1.0 for the non-entity families."""
+    return (
+        "WITH "
+        + _prelude(corpus_path)
+        + """,
+props_by AS (
+    SELECT entity AS name, repo || '/' || dataset AS src,
+           list_sort(list_distinct(list(pname))) AS props
+    FROM prop GROUP BY 1, 2),
+ec_pairs AS (
+    SELECT a.name AS name, a.src AS src1, b.src AS src2,
+           list_sort(list_filter(a.props,
+               x -> NOT list_contains(b.props, x))) AS only1,
+           list_sort(list_filter(b.props,
+               x -> NOT list_contains(a.props, x))) AS only2,
+           len(list_intersect(a.props, b.props)) AS n_common,
+           len(list_distinct(list_concat(a.props, b.props))) AS n_total
+    FROM props_by a JOIN props_by b
+      ON a.name = b.name AND a.src < b.src),
+fam_entity AS (
+    SELECT 'entity_conflict' AS conflict_type,
+           CASE WHEN n_total = 0 THEN 'INFO'
+                WHEN CAST(n_common AS DOUBLE) / n_total < 0.5 THEN 'CRITICAL'
+                WHEN CAST(n_common AS DOUBLE) / n_total < 0.8 THEN 'WARNING'
+                ELSE 'INFO' END AS severity,
+           name, src1 || '|' || src2 AS sources,
+           'only1=' || array_to_string(only1, ',') ||
+               ';only2=' || array_to_string(only2, ',') AS detail,
+           ROUND(CAST(n_common AS DOUBLE) / n_total, 6) AS overlap_ratio
+    FROM ec_pairs WHERE len(only1) > 0 OR len(only2) > 0),
+fam_type AS (
+    SELECT 'type_conflict' AS conflict_type, 'CRITICAL' AS severity,
+           entity || '.' || pname AS name,
+           array_to_string(list_sort(list_distinct(list(
+               repo || '/' || dataset))), '|') AS sources,
+           'types=' || array_to_string(
+               list_sort(list_distinct(list(otype))), ',') AS detail,
+           -1.0 AS overlap_ratio
+    FROM prop GROUP BY entity, pname
+    HAVING count(DISTINCT otype) > 1),
+fam_rel AS (
+    SELECT 'relationship_conflict' AS conflict_type, 'WARNING' AS severity,
+           from_e || ' → ' || to_e AS name,
+           array_to_string(list_sort(list_distinct(list(
+               repo || '/' || dataset))), '|') AS sources,
+           'cards=' || array_to_string(
+               list_sort(list_distinct(list(card))), ',') AS detail,
+           -1.0 AS overlap_ratio
+    FROM rel GROUP BY from_e, to_e
+    HAVING count(DISTINCT card) > 1)
+SELECT * FROM (
+    SELECT * FROM fam_entity
+    UNION ALL SELECT * FROM fam_type
+    UNION ALL SELECT * FROM fam_rel)
+ORDER BY conflict_type, name, sources"""
     )
 
 
@@ -1330,6 +1503,37 @@ SELECT coalesce(change_type, '(all)') AS change_type,
 FROM ch_d
 GROUP BY CUBE (change_type, element_type)
 ORDER BY change_type, element_type"""
+    )
+
+
+def diff_all_pairs_summary_sql(corpus_path: str, repos: list[str]) -> str:
+    """All-pairs diff census: one _diff_block per (src < tgt) repo pair
+    — the brute-force per-pair oracle for the engine's single-job
+    join-fan-out diff_all_pairs operator."""
+    import itertools
+
+    pairs = list(itertools.combinations(sorted(repos), 2))
+    blocks = ",".join(
+        _diff_block(f"p{i}", src, tgt) for i, (src, tgt) in enumerate(pairs)
+    )
+    selects = "\n    UNION ALL ".join(
+        f"SELECT '{src}' AS src_repo, '{tgt}' AS tgt_repo, "
+        f"change_type, element_type FROM ch_p{i}"
+        for i, (src, tgt) in enumerate(pairs)
+    )
+    return (
+        "WITH "
+        + _prelude(corpus_path)
+        + ","
+        + _RULES
+        + ","
+        + blocks
+        + f"""
+SELECT src_repo, tgt_repo, change_type, element_type,
+       CAST(count(*) AS BIGINT) AS n
+FROM ({selects})
+GROUP BY src_repo, tgt_repo, change_type, element_type
+ORDER BY src_repo, tgt_repo, change_type, element_type"""
     )
 
 

@@ -336,6 +336,50 @@ def diff_summary(changes: DataFrame, keys: Sequence[str] = ()) -> DataFrame:
     return changes.cube(*keys, "change_type", "element_type").count()
 
 
+def diff_all_pairs(
+    families: dict[str, DataFrame],
+    pair_col: str = "repo",
+    pairs: DataFrame | None = None,
+) -> DataFrame:
+    """Diff every ordered ontology pair in ONE job — the cross-dashboard
+    analog of the reference CLI's per-pair Python loop
+    (cli.py:137-154), re-expressed as a join fan-out so the cluster
+    sees one DAG instead of O(P²) driver-scheduled jobs.
+
+    Each family frame must carry ``pair_col`` (the ontology identity,
+    default ``repo``).  ``pairs`` restricts which (src, tgt) pairs are
+    diffed; by default all ``src < tgt`` pairs of the distinct keys in
+    ``families["entities"]``.
+
+    Scale note: all-pairs is inherently quadratic in ontologies — each
+    family row is replicated once per pair it participates in.  At
+    corpus scale pass an explicit ``pairs`` frame (e.g. the candidate
+    pairs from canonicalize.py's MinHash-LSH blocking, or a
+    same-org/same-team catalog join) so the fan-out is linear in the
+    candidate set; the pair list is broadcast either way.
+
+    Returns (src_repo, tgt_repo) + CHANGE_COLS.
+    """
+    keys = ["src_repo", "tgt_repo"]
+    if pairs is None:
+        ids = families["entities"].select(pair_col).distinct()
+        pairs = (
+            ids.select(F.col(pair_col).alias("src_repo"))
+            .crossJoin(ids.select(F.col(pair_col).alias("tgt_repo")))
+            .where(F.col("src_repo") < F.col("tgt_repo"))
+        )
+    pairs = pairs.select("src_repo", "tgt_repo")
+
+    def bind(df: DataFrame, side: str) -> DataFrame:
+        return df.join(
+            F.broadcast(pairs), df[pair_col] == F.col(side), "inner"
+        ).drop(pair_col)
+
+    src = {k: bind(df, "src_repo") for k, df in families.items()}
+    tgt = {k: bind(df, "tgt_repo") for k, df in families.items()}
+    return diff_ontologies(src, tgt, keys)
+
+
 # --- three-way merge ---------------------------------------------------------
 
 

@@ -111,6 +111,16 @@ def _model_json(repo_idx: int, rng: random.Random, n_extra_measures: int) -> str
         if even
         else "CALCULATE(COUNT(Customer[CustomerID]), Customer[ChurnProbability] > 0.7)"
     )
+    # deterministic cross-repo schema disagreements (the
+    # SemanticDebtAnalyzer families of the reference's
+    # semantic_debt.py:388-460 need real conflicts to be non-vacuous):
+    # every third repo types Customer.Segment as int64 instead of
+    # string (A8 property-type conflict, always CRITICAL) and models
+    # Shipment→Customer as many-to-many instead of many-to-one
+    # (A9 relationship-cardinality conflict, WARNING)
+    divergent = repo_idx % 3 == 1
+    seg_type = "int64" if divergent else "string"
+    ship_to_card = "many" if divergent else "one"
     extra_measures = [
         {
             "name": f"Metric {j}",
@@ -148,7 +158,7 @@ def _model_json(repo_idx: int, rng: random.Random, n_extra_measures: int) -> str
                      "isNullable": False, "description": "Primary key"},
                     {"name": "CustomerName", "dataType": "string", "isNullable": True},
                     risk_col,
-                    {"name": "Segment", "dataType": "string", "isNullable": True},
+                    {"name": "Segment", "dataType": seg_type, "isNullable": True},
                     {"name": "Email", "dataType": "string", "isNullable": True},
                     {"name": "Website", "dataType": "string", "isNullable": True},
                 ],
@@ -264,7 +274,7 @@ def _model_json(repo_idx: int, rng: random.Random, n_extra_measures: int) -> str
              "crossFilteringBehavior": "bothDirections", "isActive": True},
             {"name": "Shipment_Customer", "fromTable": "Shipment",
              "fromColumn": "CustomerID", "toTable": "Customer", "toColumn": "CustomerID",
-             "fromCardinality": "many", "toCardinality": "one",
+             "fromCardinality": "many", "toCardinality": ship_to_card,
              "crossFilteringBehavior": "singleDirection", "isActive": True},
             {"name": "Returns_Customer", "fromTable": "Returns",
              "fromColumn": "CustomerID", "toTable": "Customer", "toColumn": "CustomerID",

@@ -246,3 +246,48 @@ def test_permissions_from_dashboard(spark):
     )
     relevant = relevant_business_rules(rules, perms).collect()
     assert [r["name"] for r in relevant] == ["rule1"]
+
+
+def _with_repo(df, repo):
+    return df.withColumn("repo", F.lit(repo))
+
+
+def test_diff_all_pairs_matches_per_pair(spark, pair):
+    """diff_all_pairs (single-job join fan-out) must equal per-pair
+    diff_ontologies for every src<tgt pair of three variants."""
+    src, tgt = pair
+    variants = {"r1": src, "r2": tgt, "r3": src}  # r3 identical to r1
+    fams = {}
+    for k in ["entities", "properties", "relationships", "business_rules"]:
+        parts = [_with_repo(v[k], r) for r, v in variants.items()]
+        d = parts[0]
+        for p in parts[1:]:
+            d = d.unionByName(p)
+        fams[k] = d
+    allp = D.diff_all_pairs(fams)
+    got = {
+        (r.src_repo, r.tgt_repo): r.n
+        for r in allp.groupBy("src_repo", "tgt_repo")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    names = ["r1", "r2", "r3"]
+    import itertools
+
+    for a, b in itertools.combinations(names, 2):
+        want = D.diff_ontologies(
+            {k: variants[a][k] for k in fams}, {k: variants[b][k] for k in fams}
+        ).count()
+        assert got.get((a, b), 0) == want, (a, b)
+    # r1 vs r3 are identical ontologies: no changes at all
+    assert (("r1", "r3") not in got) or got[("r1", "r3")] == 0
+
+    # explicit pair restriction: only the requested pair is diffed
+    only = spark.createDataFrame(
+        [("r1", "r2")], "src_repo string, tgt_repo string"
+    )
+    restricted = D.diff_all_pairs(fams, pairs=only)
+    assert restricted.select("src_repo", "tgt_repo").distinct().collect() == [
+        ("r1", "r2")
+    ] or [tuple(r) for r in restricted.select("src_repo", "tgt_repo")
+          .distinct().collect()] == [("r1", "r2")]
