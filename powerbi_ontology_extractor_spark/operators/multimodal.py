@@ -1,13 +1,17 @@
 """Multimodal columns: image/audio/video as opaque binary + typed
 metadata, processed through mapInPandas.
 
-Decode support (pure numpy — no image/audio libs in this container):
+Decode support (pure stdlib+numpy — no image/audio libs in this
+container):
 - **PPM (P6) images**: full header+raster parser (comments, arbitrary
   maxval ≤ 65535) → grayscale signal → bucket-mean features.
+- **PNG images**: chunk walker + zlib inflate + all five scanline
+  un-filters (8-bit gray/RGB/gray-alpha/RGBA, non-interlaced) →
+  grayscale signal → bucket-mean features.
 - **WAV (RIFF/PCM) audio**: chunk walker (fmt/data, 8/16/32-bit PCM,
   any channel count) → mono float signal → bucket-mean features.
-- other containers (PNG/JPEG/MP4…) still raise NotImplementedError —
-  they need real codec libraries; ``fake=True`` keeps the deterministic
+- other containers (JPEG/MP4…) still raise NotImplementedError — they
+  need real codec libraries; ``fake=True`` keeps the deterministic
   hash-based stand-in for pipeline tests over arbitrary bytes.
 
 Design for 100 TB of media: binary payloads never shuffle.  All
@@ -106,6 +110,94 @@ def decode_ppm(payload: bytes) -> np.ndarray:
     return raster.reshape(height, width, 3).astype(np.float64) / maxval
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# channels per PNG color type (8-bit, non-interlaced; palette needs the
+# PLTE table and stays unsupported)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Parse an 8-bit non-interlaced PNG → float array (h, w, channels)
+    in [0,1], pure stdlib-zlib + numpy (no codec libs).
+
+    Supports color types 0 (gray), 2 (RGB), 4 (gray+alpha), 6 (RGBA)
+    and all five scanline filters (None/Sub/Up/Average/Paeth, the full
+    filter method 0 of the PNG spec).  Sub un-filtering is a per-channel
+    cumulative sum (vectorized); Average/Paeth walk the scanline (their
+    recurrence is inherently sequential).  Palette / 16-bit / Adam7
+    raise NotImplementedError explicitly.
+    """
+    if payload[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos = len(_PNG_SIG)
+    ihdr = None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        size = int.from_bytes(payload[pos : pos + 4], "big")
+        ctype = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + size]
+        if ctype == b"IHDR":
+            ihdr = body
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        pos += 12 + size  # length + type + body + CRC
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR/IDAT chunk")
+    width = int.from_bytes(ihdr[0:4], "big")
+    height = int.from_bytes(ihdr[4:8], "big")
+    bit_depth, color_type, _compression, _filter, interlace = ihdr[8:13]
+    if bit_depth != 8:
+        raise NotImplementedError(f"{bit_depth}-bit PNG (8-bit only)")
+    if color_type not in _PNG_CHANNELS:
+        raise NotImplementedError(f"PNG color type {color_type} (palette)")
+    if interlace != 0:
+        raise NotImplementedError("Adam7-interlaced PNG")
+    channels = _PNG_CHANNELS[color_type]
+    stride = width * channels
+    import zlib
+
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != height * (stride + 1):
+        raise ValueError("PNG raster size mismatch")
+    out = np.zeros((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(height):
+        fbyte = raw[y * (stride + 1)]
+        row = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).astype(np.int32)
+        if fbyte == 0:  # None
+            recon = row
+        elif fbyte == 1:  # Sub: per-channel cumulative sum
+            recon = row.copy()
+            for c in range(channels):
+                recon[c::channels] = np.cumsum(recon[c::channels]) & 0xFF
+        elif fbyte == 2:  # Up
+            recon = (row + prev) & 0xFF
+        elif fbyte == 3:  # Average
+            recon = row.copy()
+            for i in range(stride):
+                a = recon[i - channels] if i >= channels else 0
+                recon[i] = (recon[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif fbyte == 4:  # Paeth
+            recon = row.copy()
+            for i in range(stride):
+                a = int(recon[i - channels]) if i >= channels else 0
+                b = int(prev[i])
+                c = int(prev[i - channels]) if i >= channels else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                recon[i] = (recon[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter {fbyte}")
+        out[y] = recon
+        prev = recon.astype(np.int32)
+    return out.reshape(height, width, channels).astype(np.float64) / 255.0
+
+
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     """Parse a RIFF/WAVE PCM payload → (mono float samples in [-1,1],
     sample_rate).  Chunk walker: fmt (PCM only) + data; 8-bit unsigned,
@@ -170,12 +262,15 @@ def decode_media(payload: bytes, media_type: str, dim: int, fake: bool) -> np.nd
     if payload[:2] == b"P6":
         rgb = decode_ppm(payload)
         return _bucket_features(rgb.mean(axis=2), dim)  # grayscale
+    if payload[: len(_PNG_SIG)] == _PNG_SIG:
+        px = decode_png(payload)
+        return _bucket_features(px.mean(axis=2), dim)  # grayscale
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         samples, _ = decode_wav(payload)
         return _bucket_features(samples, dim)
     raise NotImplementedError(
         f"no pure-numpy decoder for this {media_type} container; "
-        "PPM (P6) and PCM WAV are supported, or pass fake=True"
+        "PPM (P6), 8-bit PNG and PCM WAV are supported, or pass fake=True"
     )
 
 
@@ -190,6 +285,72 @@ def synth_ppm_bytes(width: int = 24, height: int = 16, seed: int = 7) -> bytes:
     )
     header = f"P6\n# synthetic fixture\n{width} {height}\n255\n".encode()
     return header + img.tobytes()
+
+
+def synth_png_bytes(width: int = 24, height: int = 16, seed: int = 11) -> bytes:
+    """Deterministic 8-bit RGB PNG fixture, written with stdlib zlib.
+
+    The encoder applies a DIFFERENT scanline filter per row (cycling
+    None/Sub/Up/Average/Paeth) so a round-trip through decode_png
+    exercises every un-filter branch, not just the trivial one."""
+    import zlib
+
+    rng = np.random.RandomState(seed)
+    img = (
+        np.fromfunction(
+            lambda y, x, c: (x * 11 + y * 3 + c * 29) % 256, (height, width, 3)
+        ).astype(np.uint8)
+        ^ rng.randint(0, 256, (height, width, 3), dtype=np.uint8)
+    )
+    ch = 3
+    raw = bytearray()
+    prev = np.zeros(width * ch, dtype=np.int32)
+    for y in range(height):
+        cur = img[y].reshape(-1).astype(np.int32)
+        f = y % 5
+        if f == 0:
+            filt = cur
+        elif f == 1:  # Sub
+            left = np.concatenate([np.zeros(ch, dtype=np.int32), cur[:-ch]])
+            filt = (cur - left) & 0xFF
+        elif f == 2:  # Up
+            filt = (cur - prev) & 0xFF
+        elif f == 3:  # Average
+            left = np.concatenate([np.zeros(ch, dtype=np.int32), cur[:-ch]])
+            filt = (cur - ((left + prev) >> 1)) & 0xFF
+        else:  # Paeth
+            filt = cur.copy()
+            for i in range(width * ch):
+                a = int(cur[i - ch]) if i >= ch else 0
+                b = int(prev[i])
+                c = int(prev[i - ch]) if i >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                filt[i] = (cur[i] - pred) & 0xFF
+        raw.append(f)
+        raw += filt.astype(np.uint8).tobytes()
+        prev = cur
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            len(body).to_bytes(4, "big")
+            + ctype
+            + body
+            + zlib.crc32(ctype + body).to_bytes(4, "big")
+        )
+
+    ihdr = (
+        width.to_bytes(4, "big")
+        + height.to_bytes(4, "big")
+        + bytes([8, 2, 0, 0, 0])  # 8-bit, RGB, deflate, filter 0, no interlace
+    )
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw), 9))
+        + chunk(b"IEND", b"")
+    )
 
 
 def synth_wav_bytes(

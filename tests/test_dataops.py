@@ -251,6 +251,70 @@ def test_ppm_header_variants():
     assert abs(img[1, 1, 2] - 11 / 65535) < 1e-9
 
 
+def test_png_fixture_pinned_and_decodes():
+    """Committed PNG fixture == generator output; the stdlib-zlib
+    decoder reconstructs the raster EXACTLY through all five scanline
+    filters (the encoder cycles None/Sub/Up/Average/Paeth per row)."""
+    import numpy as np
+
+    with open(os.path.join(FIXTURES, "sample.png"), "rb") as f:
+        payload = f.read()
+    assert payload == MM.synth_png_bytes()
+    img = MM.decode_png(payload)
+    assert img.shape == (16, 24, 3) and 0.0 <= img.min() <= img.max() <= 1.0
+    rng = np.random.RandomState(11)
+    want = (
+        np.fromfunction(
+            lambda y, x, c: (x * 11 + y * 3 + c * 29) % 256, (16, 24, 3)
+        ).astype(np.uint8)
+        ^ rng.randint(0, 256, (16, 24, 3), dtype=np.uint8)
+    )
+    assert np.array_equal((img * 255).round().astype(np.uint8), want)
+    feats = MM.decode_media(payload, "image", 8, fake=False)
+    assert feats.shape == (8,) and all(0.0 <= x <= 1.0 for x in feats)
+
+
+def test_png_rgba_and_declared_gaps():
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    def chunk(t, body):
+        return (
+            len(body).to_bytes(4, "big") + t + body
+            + zlib.crc32(t + body).to_bytes(4, "big")
+        )
+
+    h, w = 3, 5
+    px = np.arange(h * w * 4, dtype=np.uint8).reshape(h, w, 4)
+    raw = b"".join(b"\x00" + px[y].tobytes() for y in range(h))
+    ihdr = w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([8, 6, 0, 0, 0])
+    payload = (
+        MM._PNG_SIG + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+    )
+    img = MM.decode_png(payload)
+    assert img.shape == (3, 5, 4)
+    assert np.array_equal((img * 255).round().astype(np.uint8), px)
+
+    # declared gaps: palette color type and 16-bit depth
+    ihdr_pal = w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([8, 3, 0, 0, 0])
+    bad = (
+        MM._PNG_SIG + chunk(b"IHDR", ihdr_pal)
+        + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+    )
+    with pytest.raises(NotImplementedError):
+        MM.decode_png(bad)
+    ihdr16 = w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([16, 2, 0, 0, 0])
+    bad16 = (
+        MM._PNG_SIG + chunk(b"IHDR", ihdr16)
+        + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+    )
+    with pytest.raises(NotImplementedError):
+        MM.decode_png(bad16)
+
+
 def test_wav_fixture_pinned_and_decodes():
     with open(os.path.join(FIXTURES, "sample.wav"), "rb") as f:
         payload = f.read()
@@ -286,14 +350,17 @@ def test_real_decode_through_spark_pipeline(spark):
          24, 16, None, "synthetic://ppm/0"),
         (1, "audio", MM.synth_wav_bytes(), "audio/wav",
          None, None, 256, "synthetic://wav/1"),
+        (2, "image", MM.synth_png_bytes(), "image/png",
+         24, 16, None, "synthetic://png/2"),
     ]
     media = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
     out = {r["media_id"]: r for r in
            MM.extract_features(media, dim=8, fake=False).collect()}
-    assert len(out[0]["features"]) == 8 and len(out[1]["features"]) == 8
+    assert all(len(out[i]["features"]) == 8 for i in range(3))
     # image bucket means live in [0,1]; audio in [-1,1]
     assert all(0.0 <= x <= 1.0 for x in out[0]["features"])
     assert all(-1.0 <= x <= 1.0 for x in out[1]["features"])
+    assert all(0.0 <= x <= 1.0 for x in out[2]["features"])
 
 
 def test_frame_sample_plan(spark):

@@ -123,3 +123,74 @@ def test_manifest_quarantines_corrupt_rows(spark, tmp_path):
     assert (
         out["triples"].where(F.col("pred") == "ont:bindsField").count() == 0
     )
+
+
+def test_sessionize_stateful_matches_batch(spark, sf_dir, tmp_path):
+    """Parity: the applyInPandasWithState gap sessionizer must emit
+    exactly the sessions the batch (lag + cumsum) twin computes on the
+    bench events table — minus each user's final session, which stays
+    open in the stream and is only closed by the processing-time
+    timeout (never fired under a single availableNow batch)."""
+    from pyspark.sql.window import Window
+
+    from powerbi_ontology_extractor_spark.streaming.ingest import (
+        sessionize_stream,
+    )
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "ts", "value"
+    )
+
+    def norm(df):
+        return {
+            (
+                r["user_id"],
+                r["start_epoch"],
+                r["end_epoch"],
+                r["n_events"],
+                round(r["total_value"], 4),
+            )
+            for r in df.select(
+                "user_id",
+                F.unix_timestamp("session_start").alias("start_epoch"),
+                F.unix_timestamp("session_end").alias("end_epoch"),
+                F.col("n_events").cast("long").alias("n_events"),
+                "total_value",
+            ).collect()
+        }
+
+    batch = sessionize_batch(events)
+    w = Window.partitionBy("user_id")
+    expected_df = batch.withColumn(
+        "_max_start", F.max("session_start").over(w)
+    ).where(F.col("session_start") != F.col("_max_start"))
+    expected = norm(expected_df)
+    assert len(expected) > 0  # the fixture has multi-session users
+
+    src = str(tmp_path / "events_src")
+    events.write.parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    q = (
+        sessionize_stream(stream)
+        .writeStream.format("memory")
+        .queryName("sess_parity")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    # ProcessingTimeTimeout keeps the query alive waiting for state
+    # timeouts even after availableNow drained the input, so neither
+    # awaitTermination nor processAllAvailable returns promptly — poll
+    # the sink for the expected emission count, then stop explicitly
+    import time
+
+    deadline = time.time() + 240
+    while (
+        time.time() < deadline
+        and spark.table("sess_parity").count() < len(expected)
+    ):
+        time.sleep(2)
+    got = norm(spark.table("sess_parity"))
+    q.stop()
+
+    assert got == expected
