@@ -476,6 +476,63 @@ def _kg_contract_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("repo", "dataset", "subj", "pred", "obj")
 
 
+def _kg_graph_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V1: graph materialization census (pipeline.nodes_edges — the
+    north-star node/edge tables): distinct nodes by resolved rdf:type
+    and edges by relation, over the full triple build.  The DuckDB
+    oracle recomputes node identity (subjects ∪ URI objects) and the
+    min-type join from the triple union, using the emission grammar's
+    pred→object-ness map (kg_oracles.OBJECT_PREDS, pinned functional by
+    tests/test_triples.py)."""
+    from powerbi_ontology_extractor_spark.pipeline import (
+        build_triples,
+        nodes_edges,
+    )
+
+    nodes, edges = nodes_edges(build_triples(_corpus(spark)))
+    n = (
+        nodes.groupBy(F.coalesce("node_type", F.lit("")).alias("key"))
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .withColumn("kind", F.lit("node"))
+    )
+    e = (
+        edges.groupBy(F.col("rel").alias("key"))
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .withColumn("kind", F.lit("edge"))
+    )
+    return n.unionByName(e).select("kind", "key", "n").orderBy("kind", "key")
+
+
+def _kg_relevant_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3-C4: business rules relevant to an agent's read set
+    (contract_builder.py:219-230, broadcast semi-join).  The read set is
+    restricted to NON-fact entities ("read-only agent limited to
+    dimension-shaped tables") so the semi-join actually filters —
+    fact-table rules must drop out, dimension rules survive."""
+    from powerbi_ontology_extractor_spark.operators.contracts import (
+        permissions_from_dashboard,
+        relevant_business_rules,
+    )
+    from powerbi_ontology_extractor_spark.operators.extract import extract_all
+    from powerbi_ontology_extractor_spark.operators.ontology import (
+        generate_ontology,
+    )
+
+    dfs = extract_all(_corpus(spark), materialize=True)
+    onto = generate_ontology(dfs, materialize=True)
+    rs = permissions_from_dashboard(
+        dfs["entities"], dfs["relationships"], dfs["measures"]
+    )
+    non_fact = onto["ontology_entities"].where(
+        F.col("entity_type") != "fact"
+    ).select("repo", "dataset", "entity")
+    restricted = rs.join(non_fact, ["repo", "dataset", "entity"], "left_semi")
+    rel = relevant_business_rules(onto["business_rules"], restricted)
+    return rel.select(
+        "repo", "dataset", "entity", "name", "action"
+    ).orderBy("repo", "dataset", "entity", "name", "action")
+
+
 def _kg_canonical_definitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5: canonical-definition suggester (analyzer.py:240-295) — mode
     of the normalized formula per multiply-defined measure name, with
@@ -1115,6 +1172,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_export_summary": _kg_export_summary,
         "kg_contract_triples": _kg_contract_triples,
         "kg_diff_all_pairs": _kg_diff_all_pairs,
+        "kg_graph_tables": _kg_graph_tables,
+        "kg_relevant_rules": _kg_relevant_rules,
         # relational operator families (DuckDB oracle)
         "q_pricing_summary": _q_pricing_summary,
         "q_top_orders": _q_top_orders,
@@ -1246,6 +1305,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_diff_all_pairs": kg_oracles.diff_all_pairs_summary_sql(
             path, [f"org{i}/dashboards-{i}" for i in range(_KG_REPOS)]
         ),
+        "kg_graph_tables": kg_oracles.graph_tables_sql(path),
+        "kg_relevant_rules": kg_oracles.relevant_rules_sql(path),
         "q_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,

@@ -723,6 +723,110 @@ FROM triples GROUP BY pred ORDER BY pred"""
     )
 
 
+# The emission grammar's object-valued (non-literal) predicates —
+# every other pred carries a literal object.  This map is FUNCTIONAL
+# (no pred is emitted with both literal and URI objects);
+# tests/test_triples.py::test_object_preds_match_oracle_constant pins
+# the engine frame to this list, so the graph-census oracle may derive
+# obj_is_literal from pred alone.
+OBJECT_PREDS = (
+    "ont:appliesTo",
+    "ont:bindsField",
+    "ont:connectsTo",
+    "ont:dependsOn",
+    "ont:hasConstraint",
+    "ont:inReport",
+    "ont:inTable",
+    "ont:requiresRole",
+    "ont:usesDataset",
+    "owl:onProperty",
+    "rdf:type",
+    "rdfs:domain",
+    "rdfs:range",
+    "rdfs:subClassOf",
+)
+
+
+def graph_tables_sql(
+    corpus_path: str, generated_at: str = "1970-01-01T00:00:00"
+) -> str:
+    """V1 graph materialization census (pipeline.nodes_edges): nodes =
+    distinct subjects ∪ URI objects per (repo, dataset), typed by the
+    min rdf:type object; edges = URI→URI triples.  Object-ness is
+    derived from OBJECT_PREDS (see above)."""
+    objs = ",".join(f"'{p}'" for p in OBJECT_PREDS)
+    return (
+        "WITH "
+        + _prelude(corpus_path)
+        + ","
+        + _RULES
+        + ","
+        + _ALL_MEASURES
+        + ","
+        + _triple_families(generated_at)
+        + f""",
+nodes0 AS (
+    SELECT DISTINCT repo, dataset, subj AS node FROM triples
+    UNION
+    SELECT DISTINCT repo, dataset, obj AS node FROM triples
+    WHERE pred IN ({objs})),
+ntypes AS (
+    SELECT repo, dataset, subj AS node, min(obj) AS node_type
+    FROM triples WHERE pred = 'rdf:type' GROUP BY 1, 2, 3),
+nodes AS (
+    SELECT n.repo, n.dataset, n.node, t.node_type
+    FROM nodes0 n LEFT JOIN ntypes t USING (repo, dataset, node))
+SELECT * FROM (
+    SELECT 'node' AS kind, coalesce(node_type, '') AS key,
+           CAST(count(*) AS BIGINT) AS n
+    FROM nodes GROUP BY 2
+    UNION ALL
+    SELECT 'edge' AS kind, pred AS key, CAST(count(*) AS BIGINT) AS n
+    FROM triples WHERE pred IN ({objs}) GROUP BY 2)
+ORDER BY kind, key"""
+    )
+
+
+def relevant_rules_sql(corpus_path: str) -> str:
+    """C3-C4 relevant-rule selection (contract_builder.py:219-230):
+    rules whose entity is in the agent read set, the read set restricted
+    to non-fact entities (same restriction as the entry query)."""
+    return (
+        "WITH "
+        + _prelude(corpus_path)
+        + ","
+        + _RULES
+        + ","
+        + _ALL_MEASURES
+        + """,
+perm_src AS (
+    SELECT repo, dataset, entity FROM ent2
+    UNION ALL
+    SELECT repo, dataset, from_e AS entity FROM rel2
+    UNION ALL
+    SELECT repo, dataset, to_e AS entity FROM rel2
+    UNION ALL
+    SELECT repo, dataset, string_split(dep, '.')[1] AS entity
+    FROM (SELECT repo, dataset, unnest(deps) AS dep
+          FROM dep_lists WHERE dataset <> 'Standalone')
+    WHERE contains(dep, '.')),
+restricted AS (
+    SELECT DISTINCT p.repo, p.dataset, p.entity
+    FROM perm_src p JOIN ent2 e
+      ON p.repo = e.repo AND p.dataset = e.dataset AND p.entity = e.entity
+    WHERE e.entity_type <> 'fact')
+SELECT r.repo AS repo, r.dataset AS dataset,
+       coalesce(nullif(r.rentity, ''), r.tbl) AS entity,
+       r.rule_name AS name, r.action AS action
+FROM rules r
+WHERE EXISTS (
+    SELECT 1 FROM restricted s
+    WHERE s.repo = r.repo AND s.dataset = r.dataset
+      AND s.entity = coalesce(nullif(r.rentity, ''), r.tbl))
+ORDER BY repo, dataset, entity, name, action"""
+    )
+
+
 def export_summary_sql(
     corpus_path: str, generated_at: str = "1970-01-01T00:00:00"
 ) -> str:

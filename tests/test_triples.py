@@ -298,3 +298,35 @@ def test_ntriples_escapes_quotes_and_backslashes(spark):
     )
     line = ntriples_lines(t).first()["ntriple"]
     assert '"say \\"hi\\" \\\\ done"' in line
+
+
+def test_object_preds_match_oracle_constant(spark):
+    """The graph-census oracle (kg_oracles.graph_tables_sql) derives
+    obj_is_literal from pred alone — legal only while the pred→
+    object-ness map stays FUNCTIONAL across the emission grammar.  Pin
+    both properties on the full corpus build: no pred carries both
+    literal and URI objects, and the URI-pred set equals
+    kg_oracles.OBJECT_PREDS exactly."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
+    import kg_oracles
+    from powerbi_ontology_extractor_spark.sources.corpus import corpus_df
+
+    t = build_triples(corpus_df(spark, n_repos=6))
+    mixed = (
+        t.groupBy("pred")
+        .agg(F.count_distinct("obj_is_literal").alias("k"))
+        .where(F.col("k") > 1)
+        .collect()
+    )
+    assert mixed == []
+    obj_preds = sorted(
+        r["pred"]
+        for r in t.where(~F.col("obj_is_literal"))
+        .select("pred")
+        .distinct()
+        .collect()
+    )
+    assert obj_preds == sorted(kg_oracles.OBJECT_PREDS)
