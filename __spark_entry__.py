@@ -476,6 +476,55 @@ def _kg_contract_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("repo", "dataset", "subj", "pred", "obj")
 
 
+def _kg_drift_fixes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M3+M4: drift fix suggestions (schema_mapper.py:256-302) over a
+    deterministic three-mutation catalog — risk_score dropped
+    (missing_column CRITICAL), temperature retyped (type_change),
+    vibration renamed to vibration_level (renamed_column via the
+    containment/common-char heuristic, schema_mapper.py:353-369) — so
+    all four drift types and the rename pairing are exercised."""
+    from powerbi_ontology_extractor_spark.operators.drift import (
+        create_bindings,
+        detect_drift,
+        suggest_fixes,
+    )
+    from powerbi_ontology_extractor_spark.operators.extract import extract_all
+
+    dfs = extract_all(_corpus(spark), materialize=True)
+    keys = ("repo", "dataset")
+    bindings = create_bindings(dfs["properties"], keys=keys)
+    actual = (
+        bindings.where(F.col("physical_column") != "risk_score")
+        .select(
+            *keys,
+            "entity",
+            F.when(F.col("physical_column") == "vibration", "vibration_level")
+            .otherwise(F.col("physical_column"))
+            .alias("column"),
+            F.when(F.col("physical_column") == "temperature", "String")
+            .otherwise(F.col("expected_type"))
+            .alias("col_type"),
+        )
+    )
+    # one genuinely-new catalog column per dashboard (no similar missing
+    # column → stays new_column INFO → the add_column fix branch)
+    extra = (
+        actual.select(*keys)
+        .distinct()
+        .select(
+            *keys,
+            F.lit("Shipment").alias("entity"),
+            F.lit("ingest_ts").alias("column"),
+            F.lit("String").alias("col_type"),
+        )
+    )
+    actual = actual.unionByName(extra)
+    fixes = suggest_fixes(detect_drift(bindings, actual, keys=keys), keys=keys)
+    return fixes.orderBy(
+        "repo", "dataset", "entity", "fix_type", "property", "description"
+    )
+
+
 def _kg_graph_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     """V1: graph materialization census (pipeline.nodes_edges — the
     north-star node/edge tables): distinct nodes by resolved rdf:type
@@ -1174,6 +1223,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_diff_all_pairs": _kg_diff_all_pairs,
         "kg_graph_tables": _kg_graph_tables,
         "kg_relevant_rules": _kg_relevant_rules,
+        "kg_drift_fixes": _kg_drift_fixes,
         # relational operator families (DuckDB oracle)
         "q_pricing_summary": _q_pricing_summary,
         "q_top_orders": _q_top_orders,
@@ -1307,6 +1357,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "kg_graph_tables": kg_oracles.graph_tables_sql(path),
         "kg_relevant_rules": kg_oracles.relevant_rules_sql(path),
+        "kg_drift_fixes": kg_oracles.drift_fixes_sql(path),
         "q_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,

@@ -827,6 +827,121 @@ ORDER BY repo, dataset, entity, name, action"""
     )
 
 
+def drift_fixes_sql(corpus_path: str) -> str:
+    """M3+M4: drift rows → fix suggestions (schema_mapper.py:162-302)
+    over the same three-mutation catalog as the entry query.  The
+    rename heuristic is the reference's containment / common-char check
+    (schema_mapper.py:353-369), re-implemented in SQL; rename pairing
+    claims each side once via the same double row_number the engine
+    uses."""
+    snake = _SNAKE.format(e="pname")
+    sim = """
+        (x <> '' AND y <> '' AND (contains(y, x) OR contains(x, y) OR
+         (abs(len(x) - len(y)) <= 3 AND
+          len(list_filter(range(1, len(x) + 1), i -> contains(y, x[i])))
+              > 0.7 * greatest(len(x), len(y)))))"""
+    return (
+        "WITH "
+        + _prelude(corpus_path)
+        + f""",
+bind AS (
+    SELECT repo, dataset, entity, {snake} AS physical_column,
+           otype AS expected_type
+    FROM prop),
+act AS (
+    SELECT repo, dataset, entity,
+           CASE WHEN physical_column = 'vibration' THEN 'vibration_level'
+                ELSE physical_column END AS "column",
+           CASE WHEN physical_column = 'temperature' THEN 'String'
+                ELSE expected_type END AS col_type
+    FROM bind WHERE physical_column <> 'risk_score'
+    UNION ALL
+    SELECT DISTINCT repo, dataset, 'Shipment', 'ingest_ts', 'String'
+    FROM bind),
+exp AS (
+    SELECT DISTINCT repo, dataset, entity,
+           physical_column AS "column", expected_type
+    FROM bind),
+missing AS (
+    SELECT e.* FROM exp e
+    WHERE NOT EXISTS (
+        SELECT 1 FROM act a
+        WHERE a.repo = e.repo AND a.dataset = e.dataset
+          AND a.entity = e.entity AND a."column" = e."column")),
+new_cols AS (
+    SELECT a.* FROM act a
+    WHERE NOT EXISTS (
+        SELECT 1 FROM exp e
+        WHERE e.repo = a.repo AND e.dataset = a.dataset
+          AND e.entity = a.entity AND e."column" = a."column")),
+cand AS (
+    SELECT m.repo, m.dataset, m.entity,
+           m."column" AS missing_col, n."column" AS new_col
+    FROM missing m JOIN new_cols n
+      ON m.repo = n.repo AND m.dataset = n.dataset AND m.entity = n.entity
+    WHERE (SELECT {sim} FROM (SELECT
+               replace(replace(lower(m."column"), '_', ''), '-', '') AS x,
+               replace(replace(lower(n."column"), '_', ''), '-', '') AS y))),
+renamed AS (
+    SELECT repo, dataset, entity, missing_col, new_col FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY repo, dataset, entity, new_col
+            ORDER BY missing_col) AS r2
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY repo, dataset, entity, missing_col
+                  ORDER BY new_col) AS r1
+              FROM cand)
+        WHERE r1 = 1)
+    WHERE r2 = 1),
+drift AS (
+    SELECT m.repo, m.dataset, m.entity,
+           'missing_column' AS drift_type, m."column" AS "column",
+           NULL AS new_column, NULL AS old_type, NULL AS new_type
+    FROM missing m
+    WHERE NOT EXISTS (
+        SELECT 1 FROM renamed r
+        WHERE r.repo = m.repo AND r.dataset = m.dataset
+          AND r.entity = m.entity AND r.missing_col = m."column")
+    UNION ALL
+    SELECT repo, dataset, entity, 'renamed_column', missing_col,
+           new_col, NULL, NULL
+    FROM renamed
+    UNION ALL
+    SELECT e.repo, e.dataset, e.entity, 'type_change', e."column",
+           NULL, e.expected_type, a.col_type
+    FROM exp e JOIN act a
+      ON a.repo = e.repo AND a.dataset = e.dataset
+     AND a.entity = e.entity AND a."column" = e."column"
+    WHERE e.expected_type <> a.col_type
+    UNION ALL
+    SELECT n.repo, n.dataset, n.entity, 'new_column', n."column",
+           NULL, NULL, n.col_type
+    FROM new_cols n
+    WHERE NOT EXISTS (
+        SELECT 1 FROM renamed r
+        WHERE r.repo = n.repo AND r.dataset = n.dataset
+          AND r.entity = n.entity AND r.new_col = n."column"))
+SELECT repo, dataset, entity,
+       CASE WHEN drift_type = 'new_column' THEN 'add_column'
+            ELSE 'update_mapping' END AS fix_type,
+       "column" AS property,
+       CASE drift_type
+            WHEN 'renamed_column' THEN
+                'Update mapping: ' || "column" || ' -> ' || new_column
+            WHEN 'missing_column' THEN
+                'Column ''' || "column" ||
+                ''' not found. Check if renamed or deleted.'
+            WHEN 'new_column' THEN
+                'New column ''' || "column" ||
+                ''' found. Consider adding to ontology.'
+            ELSE 'Type changed for ''' || "column" || ''': ' ||
+                 old_type || ' -> ' || new_type
+       END AS description
+FROM drift
+ORDER BY repo, dataset, entity, fix_type, property, description"""
+    )
+
+
 def export_summary_sql(
     corpus_path: str, generated_at: str = "1970-01-01T00:00:00"
 ) -> str:
