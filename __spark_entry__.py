@@ -538,7 +538,12 @@ def _kg_graph_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
         nodes_edges,
     )
 
-    nodes, edges = nodes_edges(build_triples(_corpus(spark)))
+    # checkpoint the built triples ONCE: nodes_edges fans out into four
+    # consumers (subject nodes, URI-object nodes, rdf:type join, edges)
+    # and the union census doubles that again — without the barrier the
+    # full triple DAG re-derived ~4× (26 corpus scans, PLANS.md)
+    triples = build_triples(_corpus(spark)).localCheckpoint(eager=True)
+    nodes, edges = nodes_edges(triples)
     n = (
         nodes.groupBy(F.coalesce("node_type", F.lit("")).alias("key"))
         .agg(F.count("*").cast("bigint").alias("n"))
