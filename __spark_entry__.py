@@ -476,6 +476,32 @@ def _kg_contract_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("repo", "dataset", "subj", "pred", "obj")
 
 
+def _kg_rule_conflict_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6/A10 blocking surface: rule-name groups holding >1 distinct
+    condition (semantic_debt.py:462-504) — the salted two-phase
+    collect_set path under the oracle.  Only the SequenceMatcher
+    severity probe stays pytest-pinned (difflib has no SQL analogue);
+    the grouping, dedup, capping and source sets — the parts that have
+    to survive 100 TB — are recomputed independently here."""
+    from powerbi_ontology_extractor_spark.operators.analytics import (
+        rule_conflicts,
+    )
+    from powerbi_ontology_extractor_spark.operators.extract import extract_all
+    from powerbi_ontology_extractor_spark.operators.ontology import (
+        generate_ontology,
+    )
+
+    dfs = extract_all(_corpus(spark), materialize=True)
+    onto = generate_ontology(dfs, materialize=True)
+    rc = rule_conflicts(onto["business_rules"])
+    return rc.select(
+        "name",
+        F.array_join("sources", "|").alias("sources"),
+        F.array_join("conditions", "|").alias("conditions"),
+        F.size("conditions").cast("bigint").alias("n_conditions"),
+    ).orderBy("name")
+
+
 def _kg_drift_fixes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M3+M4: drift fix suggestions (schema_mapper.py:256-302) over a
     deterministic three-mutation catalog — risk_score dropped
@@ -1229,6 +1255,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_graph_tables": _kg_graph_tables,
         "kg_relevant_rules": _kg_relevant_rules,
         "kg_drift_fixes": _kg_drift_fixes,
+        "kg_rule_conflict_groups": _kg_rule_conflict_groups,
         # relational operator families (DuckDB oracle)
         "q_pricing_summary": _q_pricing_summary,
         "q_top_orders": _q_top_orders,
@@ -1363,6 +1390,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_graph_tables": kg_oracles.graph_tables_sql(path),
         "kg_relevant_rules": kg_oracles.relevant_rules_sql(path),
         "kg_drift_fixes": kg_oracles.drift_fixes_sql(path),
+        "kg_rule_conflict_groups": kg_oracles.rule_conflict_groups_sql(path),
         "q_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,

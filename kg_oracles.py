@@ -827,6 +827,29 @@ ORDER BY repo, dataset, entity, name, action"""
     )
 
 
+def rule_conflict_groups_sql(corpus_path: str) -> str:
+    """A6/A10 grouping surface (semantic_debt.py:462-504): rule names
+    with >1 distinct condition, with sorted distinct source and
+    condition sets.  The SequenceMatcher severity probe has no SQL
+    analogue and is pytest-pinned instead."""
+    return (
+        "WITH "
+        + _prelude(corpus_path)
+        + ","
+        + _RULES
+        + """
+SELECT rule_name AS name,
+       array_to_string(list_sort(list_distinct(list(
+           repo || '/' || dataset))), '|') AS sources,
+       array_to_string(list_sort(list_distinct(list(cond))), '|')
+           AS conditions,
+       CAST(count(DISTINCT cond) AS BIGINT) AS n_conditions
+FROM rules GROUP BY rule_name
+HAVING count(DISTINCT cond) > 1
+ORDER BY name"""
+    )
+
+
 def drift_fixes_sql(corpus_path: str) -> str:
     """M3+M4: drift rows → fix suggestions (schema_mapper.py:162-302)
     over the same three-mutation catalog as the entry query.  The
