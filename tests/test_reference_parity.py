@@ -135,7 +135,11 @@ def test_reference_parity_exact(ref_set, engine_set):
     )
 
 
-@pytest.mark.parametrize("repo_idx", [0, 1, 3])
+# 0: wrapped JSON; 1: odd + divergent (ChurnProbability, int64 Segment,
+# many-to-many Shipment rel); 3: wrapped odd; 4: EVEN + divergent
+# (RiskScore combined with the divergent schema) — covers every
+# generator branch pair
+@pytest.mark.parametrize("repo_idx", [0, 1, 3, 4])
 def test_reference_parity_corpus_models(spark, tmp_path, repo_idx):
     """Exact parity on the synthetic-corpus models too — these exercise
     SWITCH rules with colliding names (set-dedup), IF rules, RLS roles,
