@@ -882,9 +882,13 @@ act AS (
     SELECT DISTINCT repo, dataset, 'Shipment', 'ingest_ts', 'String'
     FROM bind),
 exp AS (
-    SELECT DISTINCT repo, dataset, entity,
-           physical_column AS "column", expected_type
-    FROM bind),
+    -- deterministic type per column under snake_case collisions: the
+    -- engine's detect_drift groups to min(expected_type) the same way
+    -- (a DISTINCT over (..., expected_type) would yield extra
+    -- type_change rows whenever two properties share a column)
+    SELECT repo, dataset, entity, physical_column AS "column",
+           min(expected_type) AS expected_type
+    FROM bind GROUP BY repo, dataset, entity, physical_column),
 missing AS (
     SELECT e.* FROM exp e
     WHERE NOT EXISTS (

@@ -135,10 +135,18 @@ def measure_conflicts(measures: DataFrame, max_group: int = 1000) -> DataFrame:
     )
 
 
-def entity_structure_conflicts(properties: DataFrame) -> DataFrame:
+def entity_structure_conflicts(
+    properties: DataFrame, max_group: int = 10_000
+) -> DataFrame:
     """Same entity name (ci), different {property→type} maps — pairwise
     (analyzer.py:123-150).  The map compare is a sorted-struct-array
-    equality (order-insensitive, as the reference's dict compare)."""
+    equality (order-insensitive, as the reference's dict compare).
+
+    Same fingerprint-group shape as entity_conflicts_debt: the join
+    pairs distinct (concept, props) structure groups, never raw src
+    rows, so a hot entity name with one dominant structure emits zero
+    pairs instead of a quadratic self-join.  Src exemplars per group
+    are salted two-phase collected and capped at ``max_group``."""
     e = (
         _with_src(properties)
         .groupBy(F.lower(F.col("entity")).alias("concept"), "src")
@@ -146,34 +154,52 @@ def entity_structure_conflicts(properties: DataFrame) -> DataFrame:
             F.array_sort(
                 F.collect_list(F.struct("property", "data_type"))
             ).alias("props"),
-            F.count("*").alias("n_props"),
         )
     )
-    a, b = e.alias("a"), e.alias("b")
-    return (
+    partial = (
+        with_salt(e, ["src"], 16)
+        .groupBy("concept", "props", "_salt")
+        .agg(F.slice(F.array_sort(F.collect_list("src")), 1, max_group).alias("_srcs"))
+    )
+    groups = partial.groupBy("concept", "props").agg(
+        F.slice(
+            F.array_sort(F.flatten(F.collect_list("_srcs"))), 1, max_group
+        ).alias("srcs")
+    )
+    a, b = groups.alias("a"), groups.alias("b")
+    pairs = (
         a.join(
             b,
             (F.col("a.concept") == F.col("b.concept"))
-            & (F.col("a.src") < F.col("b.src")),
+            & (F.col("a.props") < F.col("b.props")),
         )
-        .where(F.col("a.props") != F.col("b.props"))
         .select(
             F.col("a.concept").alias("concept"),
-            F.col("a.src").alias("dashboard1"),
-            F.concat(F.col("a.n_props").cast("string"), F.lit(" properties")).alias(
-                "definition1"
-            ),
-            F.col("b.src").alias("dashboard2"),
-            F.concat(F.col("b.n_props").cast("string"), F.lit(" properties")).alias(
-                "definition2"
-            ),
-            F.lit("MEDIUM").alias("severity"),
-            F.concat(
-                F.lit("Entity '"),
-                F.col("a.concept"),
-                F.lit("' has different properties across dashboards"),
-            ).alias("description"),
+            F.size(F.col("a.props")).alias("n_a"),
+            F.size(F.col("b.props")).alias("n_b"),
+            F.explode(F.col("a.srcs")).alias("src_a"),
+            F.col("b.srcs").alias("srcs_b"),
         )
+        .select(
+            "concept", "n_a", "n_b", "src_a",
+            F.explode(F.col("srcs_b")).alias("src_b"),
+        )
+    )
+    swap = F.col("src_a") > F.col("src_b")
+    n1 = F.when(swap, F.col("n_b")).otherwise(F.col("n_a"))
+    n2 = F.when(swap, F.col("n_a")).otherwise(F.col("n_b"))
+    return pairs.select(
+        "concept",
+        F.least("src_a", "src_b").alias("dashboard1"),
+        F.concat(n1.cast("string"), F.lit(" properties")).alias("definition1"),
+        F.greatest("src_a", "src_b").alias("dashboard2"),
+        F.concat(n2.cast("string"), F.lit(" properties")).alias("definition2"),
+        F.lit("MEDIUM").alias("severity"),
+        F.concat(
+            F.lit("Entity '"),
+            F.col("concept"),
+            F.lit("' has different properties across dashboards"),
+        ).alias("description"),
     )
 
 
@@ -348,25 +374,66 @@ def semantic_debt(conflicts: DataFrame, duplications: DataFrame) -> DataFrame:
 # --- semantic_debt.py-family conflicts (ontology-level) ----------------------
 
 
-def entity_conflicts_debt(properties: DataFrame) -> DataFrame:
+def entity_conflicts_debt(
+    properties: DataFrame, max_group: int = 10_000
+) -> DataFrame:
     """Same entity name (exact), different property *sets*; severity by
     overlap ratio |∩|/|∪| (<0.5 CRITICAL, <0.8 WARNING, else INFO)
     (semantic_debt.py:334-386,506-526).  Jaccard via array_intersect /
-    array_union on pre-aggregated name sets."""
+    array_union on pre-aggregated name sets.
+
+    Skew shape: conflicts only exist between *distinct* property sets,
+    so the join pairs (name, props) FINGERPRINT GROUPS, not raw (name,
+    src) rows.  An entity named "Date" defined identically in 10⁵
+    dashboards — the expected hot key at corpus scale — collapses to
+    ONE group and emits zero pairs instead of 10¹⁰ joined-then-filtered
+    rows; distinct definitions per name are few.  Src exemplars per
+    group are collected salted two-phase and capped at ``max_group``
+    (sorted → deterministic; pair output is inherently |g1|×|g2| per
+    group pair — the cap is the same surfaced policy as
+    measure_conflicts').  Equivalent to the old (src < src) self-join:
+    cross-group src pairs are re-oriented so src1 < src2, and
+    same-group pairs are exactly the ones the old only_in filter
+    dropped."""
     e = (
         _with_src(properties)
         .groupBy(F.col("entity").alias("name"), "src")
         .agg(F.array_sort(F.collect_set("property")).alias("props"))
     )
-    a, b = e.alias("a"), e.alias("b")
+    partial = (
+        with_salt(e, ["src"], 16)
+        .groupBy("name", "props", "_salt")
+        .agg(F.slice(F.array_sort(F.collect_list("src")), 1, max_group).alias("_srcs"))
+    )
+    groups = partial.groupBy("name", "props").agg(
+        F.slice(
+            F.array_sort(F.flatten(F.collect_list("_srcs"))), 1, max_group
+        ).alias("srcs")
+    )
+    a, b = groups.alias("a"), groups.alias("b")
     pairs = a.join(
         b,
-        (F.col("a.name") == F.col("b.name")) & (F.col("a.src") < F.col("b.src")),
+        (F.col("a.name") == F.col("b.name"))
+        & (F.col("a.props") < F.col("b.props")),
+    ).select(
+        F.col("a.name").alias("name"),
+        F.col("a.props").alias("props_a"),
+        F.col("b.props").alias("props_b"),
+        F.explode(F.col("a.srcs")).alias("src_a"),
+        F.col("b.srcs").alias("srcs_b"),
+    ).select(
+        "name", "props_a", "props_b", "src_a",
+        F.explode(F.col("srcs_b")).alias("src_b"),
     )
-    only1 = F.array_sort(F.array_except(F.col("a.props"), F.col("b.props")))
-    only2 = F.array_sort(F.array_except(F.col("b.props"), F.col("a.props")))
-    common = F.size(F.array_intersect(F.col("a.props"), F.col("b.props")))
-    total = F.size(F.array_union(F.col("a.props"), F.col("b.props")))
+    # re-orient each src pair so src1 < src2 (the old join's order);
+    # the only_in legs swap with it
+    swap = F.col("src_a") > F.col("src_b")
+    p1 = F.when(swap, F.col("props_b")).otherwise(F.col("props_a"))
+    p2 = F.when(swap, F.col("props_a")).otherwise(F.col("props_b"))
+    only1 = F.array_sort(F.array_except(p1, p2))
+    only2 = F.array_sort(F.array_except(p2, p1))
+    common = F.size(F.array_intersect(p1, p2))
+    total = F.size(F.array_union(p1, p2))
     ratio = common / total
     severity = (
         F.when(total == 0, "INFO")
@@ -379,8 +446,10 @@ def entity_conflicts_debt(properties: DataFrame) -> DataFrame:
         .select(
             F.lit("entity_conflict").alias("conflict_type"),
             severity.alias("severity"),
-            F.col("a.name").alias("name"),
-            F.array(F.col("a.src"), F.col("b.src")).alias("sources"),
+            "name",
+            F.array(
+                F.least("src_a", "src_b"), F.greatest("src_a", "src_b")
+            ).alias("sources"),
             only1.alias("only_in_1"),
             only2.alias("only_in_2"),
             ratio.alias("overlap_ratio"),

@@ -29,6 +29,7 @@ O(n²) — so this module:
 from __future__ import annotations
 
 import zlib
+from collections.abc import Sequence
 from difflib import SequenceMatcher
 
 import numpy as np
@@ -96,6 +97,61 @@ def make_minhash_udf(
     return minhash
 
 
+def capped_bucket_pairs(
+    banded: DataFrame,
+    bucket_cols: Sequence[str],
+    payload: F.Column,
+    max_bucket: int = 200,
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """In-bucket candidate pairs with a fully memory-bounded cap.
+
+    ``banded`` carries one row per (item, bucket); ``payload`` is a
+    struct whose FIRST field is the orderable item id (extra fields ride
+    along so callers need no join-back).  Per bucket the payload list is
+    collected in TWO salted phases — per-(bucket, salt) sorted slice,
+    then merge + final slice — so no aggregation buffer ever holds more
+    than max(|bucket|/salt_buckets, salt_buckets × max_bucket) items
+    even on a degenerate bucket (every empty doc hashing to one key).
+    The two-phase slice is EXACTLY the single-phase result: each of the
+    global ``max_bucket`` smallest ids is among the smallest in its own
+    salt, so it survives phase 1, and the merge slice re-derives the
+    global prefix.  Pair explosion is JVM-side; sortedness gives
+    p1.id < p2.id for free.  Returns (p1, p2) struct columns; callers
+    dropDuplicates on ids (an item pair can share several buckets).
+    """
+    salt = F.pmod(F.xxhash64(payload), F.lit(salt_buckets))
+    phase1 = (
+        banded.select(*bucket_cols, payload.alias("_p"), salt.alias("_salt"))
+        .groupBy(*bucket_cols, "_salt")
+        .agg(F.slice(F.array_sort(F.collect_list("_p")), 1, max_bucket).alias("_ps"))
+    )
+    buckets = (
+        phase1.groupBy(*bucket_cols)
+        .agg(
+            F.slice(
+                F.array_sort(F.flatten(F.collect_list("_ps"))), 1, max_bucket
+            ).alias("items")
+        )
+        .where(F.size("items") > 1)
+    )
+    items = F.col("items")
+    pair_structs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.size(items) - 1),
+            lambda i: F.transform(
+                F.slice(items, i + 1, F.size(items)),
+                lambda y: F.struct(
+                    F.element_at(items, i).alias("p1"), y.alias("p2")
+                ),
+            ),
+        )
+    )
+    return buckets.select(F.explode(pair_structs).alias("pp")).select(
+        "pp.p1", "pp.p2"
+    )
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     id_col: str,
@@ -108,9 +164,11 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """(id1, id2) candidate pairs sharing ≥1 LSH band bucket.
 
-    Shuffles once on (band, band_hash); buckets larger than
-    ``max_bucket`` are truncated (skew guard — a bucket of B items emits
-    B² pairs).  Pair dedup across bands via dropDuplicates.
+    Buckets larger than ``max_bucket`` are truncated (skew guard — a
+    bucket of B items emits B² pairs); the capped collect is salted
+    two-phase (capped_bucket_pairs) so even a degenerate bucket never
+    funnels one aggregation buffer.  Pair dedup across bands via
+    dropDuplicates.
     """
     rows_per_band = num_hashes // bands
     minhash = make_minhash_udf(num_hashes, shingle_k=shingle_k, unit=unit)
@@ -128,38 +186,16 @@ def lsh_candidate_pairs(
             )
         ).alias("band", "band_hash"),
     )
-    # ONE shuffle: groupBy bucket → sorted id list (capped) → in-bucket
-    # pair explosion, all JVM-side.  The former shape (row_number
-    # window cap + bucket-key self-join) shuffled the banded rows twice
-    # more and re-derived the Arrow minhash UDF on the join's second
-    # branch — measured 2× UDF wall on the sf0.1 documents table.
-    # Same semantics: sorted-array slice ≡ the id-ordered window cap,
-    # and sortedness gives id1 < id2 for free.
-    buckets = (
-        banded.groupBy("band", "band_hash")
-        .agg(
-            F.slice(F.array_sort(F.collect_list("id")), 1, max_bucket).alias(
-                "ids"
-            )
-        )
-        .where(F.size("ids") > 1)
-    )
-    ids = F.col("ids")
-    pair_structs = F.flatten(
-        F.transform(
-            F.sequence(F.lit(1), F.size(ids) - 1),
-            lambda i: F.transform(
-                F.slice(ids, i + 1, F.size(ids)),
-                lambda y: F.struct(
-                    F.element_at(ids, i).alias("id1"), y.alias("id2")
-                ),
-            ),
-        )
+    pairs = capped_bucket_pairs(
+        banded,
+        ["band", "band_hash"],
+        F.struct(F.col("id")),
+        max_bucket=max_bucket,
     )
     return (
-        buckets.select(F.explode(pair_structs).alias("p"))
-        .select("p.id1", "p.id2")
-        .dropDuplicates()
+        pairs.select(
+            F.col("p1.id").alias("id1"), F.col("p2.id").alias("id2")
+        ).dropDuplicates()
     )
 
 

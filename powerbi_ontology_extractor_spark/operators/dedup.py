@@ -29,6 +29,7 @@ from pyspark.sql.types import DoubleType, LongType
 from pyspark.sql.window import Window
 
 from powerbi_ontology_extractor_spark.operators.canonicalize import (
+    capped_bucket_pairs,
     connected_components,
     lsh_candidate_pairs,
 )
@@ -172,11 +173,19 @@ def simhash_near_duplicates(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
+    max_bucket: int = 200,
 ) -> DataFrame:
     """Pairs within Hamming distance ≤ k via the pigeonhole principle:
     split the 64-bit signature into k+1 chunks; any pair at distance ≤k
     agrees exactly on ≥1 chunk → groupBy chunk value finds all of them.
-    Output: (id1, id2, hamming)."""
+
+    Candidate generation is the capped groupBy-and-explode shape
+    (capped_bucket_pairs), NOT a key-equality self-join: every
+    empty/near-empty doc gets signature 0 and would land in ONE
+    degenerate (chunk_idx, 0) bucket — quadratic pairs under a
+    self-join.  The cap truncates such buckets to ``max_bucket``
+    members (id-sorted, deterministic); the sig rides in the payload
+    struct so no join-back is needed.  Output: (id1, id2, hamming)."""
     chunks = max_hamming + 1
     width = 64 // chunks
     sigs = docs.select(
@@ -204,19 +213,18 @@ def simhash_near_duplicates(
     banded = sigs.select(
         "id", "sig", F.explode(chunk_structs).alias("c")
     ).select("id", "sig", F.col("c.chunk_idx"), F.col("c.chunk_val"))
-    a, b = banded.alias("a"), banded.alias("b")
     cands = (
-        a.join(
-            b,
-            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
-            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
-            & (F.col("a.id") < F.col("b.id")),
+        capped_bucket_pairs(
+            banded,
+            ["chunk_idx", "chunk_val"],
+            F.struct(F.col("id"), F.col("sig")),
+            max_bucket=max_bucket,
         )
         .select(
-            F.col("a.id").alias("id1"),
-            F.col("b.id").alias("id2"),
-            F.col("a.sig").alias("sig1"),
-            F.col("b.sig").alias("sig2"),
+            F.col("p1.id").alias("id1"),
+            F.col("p2.id").alias("id2"),
+            F.col("p1.sig").alias("sig1"),
+            F.col("p2.sig").alias("sig2"),
         )
         .dropDuplicates(["id1", "id2"])
     )
@@ -260,6 +268,7 @@ def embedding_near_duplicates(
     planes: int = 8,
     bands: int = 8,
     seed: int = 42,
+    max_bucket: int = 200,
 ) -> DataFrame:
     """Near-duplicate vectors by cosine ≥ threshold, blocked by BANDED
     random-hyperplane LSH: ``bands`` independent sign signatures of
@@ -270,7 +279,16 @@ def embedding_near_duplicates(
     cosine 0.95 (θ≈0.32) one 16-plane signature catches only ~19% of
     true pairs; 8 bands × 8 planes catch 1-(1-0.43)^8 ≈ 98.9%.  A
     single wide signature is precision-biased; dedup needs recall — the
-    exact cosine verify restores precision.  Output: (id1, id2, cosine).
+    exact cosine verify restores precision.
+
+    Candidate generation is the capped groupBy-and-explode shape
+    (capped_bucket_pairs) rather than a (band, bucket) self-join: a
+    duplicate-heavy bucket (the very thing dedup looks for) or all-zero
+    vectors collapsing into one signature would make the self-join
+    quadratic.  Buckets are truncated at ``max_bucket`` (id-sorted,
+    deterministic); vectors ride in the payload struct — bounded at
+    max_bucket × dim floats per bucket — so no join-back is needed.
+    Output: (id1, id2, cosine).
     """
     from powerbi_ontology_extractor_spark.operators.similarity import (
         hyperplane_bucket_udf,
@@ -298,19 +316,18 @@ def embedding_near_duplicates(
             )
         ).alias("bb"),
     ).select("id", "vec", F.col("bb.band"), F.col("bb.bucket"))
-    a, b = banded.alias("a"), banded.alias("b")
     cands = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.id") < F.col("b.id")),
+        capped_bucket_pairs(
+            banded,
+            ["band", "bucket"],
+            F.struct(F.col("id"), F.col("vec")),
+            max_bucket=max_bucket,
         )
         .select(
-            F.col("a.id").alias("id1"),
-            F.col("b.id").alias("id2"),
-            F.col("a.vec").alias("v1"),
-            F.col("b.vec").alias("v2"),
+            F.col("p1.id").alias("id1"),
+            F.col("p2.id").alias("id2"),
+            F.col("p1.vec").alias("v1"),
+            F.col("p2.vec").alias("v2"),
         )
         .dropDuplicates(["id1", "id2"])
     )

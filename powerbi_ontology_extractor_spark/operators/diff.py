@@ -358,6 +358,14 @@ def diff_all_pairs(
     same-org/same-team catalog join) so the fan-out is linear in the
     candidate set; the pair list is broadcast either way.
 
+    PRECONDITION: each ``pair_col`` value identifies ONE ontology —
+    the diff keys are (src_repo, tgt_repo) only, so if a single repo
+    carried several datasets their same-named elements would full-outer
+    join across datasets and emit spurious changes.  The corpus
+    guarantees one dataset per repo (sources/corpus.py); for
+    multi-dataset inputs pass a composite identity as ``pair_col``
+    (e.g. ``concat_ws('/', repo, dataset)``) instead.
+
     Returns (src_repo, tgt_repo) + CHANGE_COLS.
     """
     keys = ["src_repo", "tgt_repo"]

@@ -97,10 +97,18 @@ def detect_drift(
     type_change, renamed_column}, column, new_column, old_type,
     new_type, severity).
     """
-    exp = bindings.select(
-        *keys, "entity", F.col("physical_column").alias("column"),
-        "expected_type",
-    ).dropDuplicates([*keys, "entity", "column"])
+    # deterministic type per physical column: two properties that
+    # snake_case to the same column with different declared types must
+    # not leave an arbitrary dropDuplicates survivor (the DuckDB oracle
+    # applies the same min() rule — kg_oracles.drift_fixes_sql)
+    exp = (
+        bindings.select(
+            *keys, "entity", F.col("physical_column").alias("column"),
+            "expected_type",
+        )
+        .groupBy(*keys, "entity", "column")
+        .agg(F.min("expected_type").alias("expected_type"))
+    )
     act = actual_schema.select(*keys, "entity", "column", "col_type")
 
     missing = exp.join(act, [*keys, "entity", "column"], "left_anti")

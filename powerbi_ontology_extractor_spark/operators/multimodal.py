@@ -243,12 +243,13 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
 def decode_media(payload: bytes, media_type: str, dim: int, fake: bool) -> np.ndarray:
     """Decode one media payload to a ``dim``-float feature vector.
 
-    Real decoders: PPM (P6) images and RIFF/PCM WAV audio, parsed with
-    pure numpy (no codec libs needed).  Other containers (PNG, JPEG,
-    MP4, …) require libraries absent from this environment and raise
-    NotImplementedError.  ``fake=True`` derives the vector from the
-    payload's sha256 stream instead — deterministic stand-in for
-    pipeline tests over arbitrary bytes.
+    Real decoders: PPM (P6) images, 8-bit PNG images, baseline JPEG
+    images and RIFF/PCM WAV audio, parsed with pure stdlib+numpy (no
+    codec libs needed).  Remaining containers (MP4/H.264, progressive
+    JPEG, …) genuinely require codec libraries absent from this
+    environment and raise NotImplementedError.  ``fake=True`` derives
+    the vector from the payload's sha256 stream instead — deterministic
+    stand-in for pipeline tests over arbitrary bytes.
     """
     if fake:
         h = hashlib.sha256(payload or b"")
@@ -265,12 +266,20 @@ def decode_media(payload: bytes, media_type: str, dim: int, fake: bool) -> np.nd
     if payload[: len(_PNG_SIG)] == _PNG_SIG:
         px = decode_png(payload)
         return _bucket_features(px.mean(axis=2), dim)  # grayscale
+    if payload[:2] == b"\xff\xd8":
+        from powerbi_ontology_extractor_spark.operators.jpeg import (
+            decode_baseline_jpeg,
+        )
+
+        px = decode_baseline_jpeg(payload)
+        return _bucket_features(px.mean(axis=2), dim)  # grayscale
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         samples, _ = decode_wav(payload)
         return _bucket_features(samples, dim)
     raise NotImplementedError(
         f"no pure-numpy decoder for this {media_type} container; "
-        "PPM (P6), 8-bit PNG and PCM WAV are supported, or pass fake=True"
+        "PPM (P6), 8-bit PNG, baseline JPEG and PCM WAV are supported, "
+        "or pass fake=True"
     )
 
 

@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     LongType,
     StringType,
@@ -173,6 +174,108 @@ def sessionize_stream(events_stream: DataFrame) -> DataFrame:
         stateStructType=_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
+_EVENT_STATE_SCHEMA = StructType(
+    [
+        StructField("ts_ms", ArrayType(LongType())),
+        StructField("vals", ArrayType(DoubleType())),
+    ]
+)
+
+
+def _make_event_time_sessionizer(gap_ms: int):
+    def sessionize(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        def emit(ts_list, val_list):
+            # watermark has passed last+gap: EVERY buffered event belongs
+            # to a closed session — sort by event time, split at gaps
+            order = sorted(range(len(ts_list)), key=lambda i: ts_list[i])
+            sessions = []
+            start = last = ts_list[order[0]]
+            n, total = 0, 0.0
+            for i in order:
+                t, v = ts_list[i], val_list[i]
+                if t - last > gap_ms and n > 0:
+                    sessions.append((start, last, n, total))
+                    start, n, total = t, 0, 0.0
+                last = t
+                n += 1
+                total += float(v)
+            sessions.append((start, last, n, total))
+            return pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(sessions),
+                    "session_start": [
+                        pd.Timestamp(s[0], unit="ms") for s in sessions
+                    ],
+                    "session_end": [
+                        pd.Timestamp(s[1], unit="ms") for s in sessions
+                    ],
+                    "n_events": [s[2] for s in sessions],
+                    "total_value": [s[3] for s in sessions],
+                    "status": ["closed"] * len(sessions),
+                }
+            )
+
+        if state.hasTimedOut:
+            ts_list, val_list = state.get
+            state.remove()
+            yield emit(list(ts_list), list(val_list))
+            return
+
+        rows = pd.concat(list(pdfs))
+        new_ts = (rows["ts"].astype("int64") // 1_000_000).tolist()
+        new_vals = rows["value"].fillna(0.0).astype("float64").tolist()
+        if state.exists:
+            ts_list, val_list = state.get
+            ts_list = list(ts_list) + new_ts
+            val_list = list(val_list) + new_vals
+        else:
+            ts_list, val_list = new_ts, new_vals
+        state.update((ts_list, val_list))
+        # close when the WATERMARK (event time, not wall-clock) passes
+        # the last buffered event + gap — replay-stable under load,
+        # unlike ProcessingTimeTimeout; must be strictly beyond the
+        # current watermark or Spark rejects the timestamp
+        wm = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(max(max(ts_list) + gap_ms, wm + 1))
+
+    return sessionize
+
+
+def sessionize_stream_event_time(
+    events_stream: DataFrame,
+    gap_minutes: int = 30,
+    watermark: str = "24 hours",
+) -> DataFrame:
+    """Event-time gap sessionizer: EventTimeTimeout + watermark.
+
+    ProcessingTimeTimeout (sessionize_stream) closes sessions by
+    wall-clock, so replaying the same corpus under different load gives
+    different session boundaries.  Here events buffer in state (two
+    parallel arrays — bounded by the watermark horizon: events older
+    than the watermark are dropped at the source, and state is evicted
+    the moment the watermark passes last_event + gap) and a session
+    closes only when the WATERMARK passes its last event + gap.  On
+    timeout the buffered events are sorted by event time and split at
+    gaps, so arrival order across micro-batches — the thing a loaded
+    cluster scrambles — cannot change the emitted sessions.  The batch
+    twin (sessionize_batch) is the oracle; parity is pinned under a
+    shuffled-arrival replay in tests/test_streaming_manifest.py.
+    """
+    return (
+        events_stream.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _make_event_time_sessionizer(gap_minutes * 60 * 1000),
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=_EVENT_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
     )
 
 

@@ -315,6 +315,77 @@ def test_png_rgba_and_declared_gaps():
         MM.decode_png(bad16)
 
 
+def test_jpeg_fixture_pinned_and_decodes():
+    """Committed baseline-JPEG fixture == generator output; the pure
+    numpy decoder (huffman + dequant + IDCT + 4:2:0 upsample) recovers
+    the source image within the quantization budget, and the decode is
+    bit-deterministic (pinned output hash)."""
+    import hashlib
+
+    import numpy as np
+
+    from powerbi_ontology_extractor_spark.operators import jpeg as J
+
+    with open(os.path.join(FIXTURES, "sample.jpg"), "rb") as f:
+        payload = f.read()
+    assert payload == J.synth_jpeg_bytes()
+    img = J.decode_baseline_jpeg(payload)
+    assert img.shape == (24, 40, 3) and 0.0 <= img.min() <= img.max() <= 1.0
+
+    # closeness to the pre-encode source (lossy, so a tolerance pin):
+    # max error bounded by the coarse chroma quantization at 4:2:0
+    rng = np.random.RandomState(13)
+    yy, xx = np.mgrid[0:24, 0:40].astype(np.float64)
+    base = 96 + 64 * np.sin(xx / 9.0) + 48 * np.cos(yy / 7.0)
+    src = np.stack([base, 255 - base, 0.5 * base + 64], axis=2) + rng.uniform(
+        -3, 3, (24, 40, 3)
+    )
+    src = np.clip(src, 0, 255).astype(np.uint8) / 255.0
+    err = np.abs(img - src)
+    assert err.mean() < 0.03 and err.max() < 0.2
+
+    # determinism pin: quantized decode bytes hash exactly
+    q = (img * 255).round().astype(np.uint8)
+    assert (
+        hashlib.sha256(q.tobytes()).hexdigest()
+        == "fb7db402a7f6c5d55c5a60cbe3c3d60188608ff8b3d6787a813bcc62e07a4581"
+    )
+
+    feats = MM.decode_media(payload, "image", 8, fake=False)
+    assert feats.shape == (8,) and all(0.0 <= x <= 1.0 for x in feats)
+
+
+def test_jpeg_444_and_grayscale_roundtrip():
+    import numpy as np
+
+    from powerbi_ontology_extractor_spark.operators import jpeg as J
+
+    p444 = J.synth_jpeg_bytes(subsampling="444")
+    img = J.decode_baseline_jpeg(p444)
+    assert img.shape == (24, 40, 3)
+
+    gray = (np.mgrid[0:17, 0:23][0] * 9 % 256).astype(np.uint8)
+    d = J.decode_baseline_jpeg(J.encode_baseline_jpeg(gray))
+    assert d.shape == (17, 23, 1)
+    assert np.abs(d[:, :, 0] - gray / 255.0).max() < 0.05
+
+
+def test_jpeg_declared_gaps():
+    import pytest
+
+    from powerbi_ontology_extractor_spark.operators import jpeg as J
+
+    payload = bytearray(J.synth_jpeg_bytes())
+    # flip SOF0 (FFC0) to SOF2 (FFC2): progressive is declared out
+    i = bytes(payload).find(b"\xff\xc0")
+    assert i > 0
+    payload[i + 1] = 0xC2
+    with pytest.raises(NotImplementedError):
+        J.decode_baseline_jpeg(bytes(payload))
+    with pytest.raises(ValueError):
+        J.decode_baseline_jpeg(b"\x00\x01not a jpeg")
+
+
 def test_wav_fixture_pinned_and_decodes():
     with open(os.path.join(FIXTURES, "sample.wav"), "rb") as f:
         payload = f.read()
@@ -343,8 +414,13 @@ def test_wav_8bit_stereo_downmix():
 
 
 def test_real_decode_through_spark_pipeline(spark):
-    """fake=False end-to-end via mapInPandas on real PPM/WAV payloads —
-    the decode step is no longer a stub for these containers."""
+    """fake=False end-to-end via mapInPandas on real PPM/WAV/PNG/JPEG
+    payloads — the decode step is no longer a stub for these
+    containers."""
+    from powerbi_ontology_extractor_spark.operators.jpeg import (
+        synth_jpeg_bytes,
+    )
+
     rows = [
         (0, "image", MM.synth_ppm_bytes(), "image/x-portable-pixmap",
          24, 16, None, "synthetic://ppm/0"),
@@ -352,15 +428,18 @@ def test_real_decode_through_spark_pipeline(spark):
          None, None, 256, "synthetic://wav/1"),
         (2, "image", MM.synth_png_bytes(), "image/png",
          24, 16, None, "synthetic://png/2"),
+        (3, "image", synth_jpeg_bytes(), "image/jpeg",
+         40, 24, None, "synthetic://jpeg/3"),
     ]
     media = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
     out = {r["media_id"]: r for r in
            MM.extract_features(media, dim=8, fake=False).collect()}
-    assert all(len(out[i]["features"]) == 8 for i in range(3))
+    assert all(len(out[i]["features"]) == 8 for i in range(4))
     # image bucket means live in [0,1]; audio in [-1,1]
     assert all(0.0 <= x <= 1.0 for x in out[0]["features"])
     assert all(-1.0 <= x <= 1.0 for x in out[1]["features"])
     assert all(0.0 <= x <= 1.0 for x in out[2]["features"])
+    assert all(0.0 <= x <= 1.0 for x in out[3]["features"])
 
 
 def test_frame_sample_plan(spark):

@@ -194,3 +194,104 @@ def test_sessionize_stateful_matches_batch(spark, sf_dir, tmp_path):
     q.stop()
 
     assert got == expected
+
+
+def test_sessionize_event_time_shuffled_replay(spark, sf_dir, tmp_path):
+    """Event-time parity under a scrambled-arrival replay (round-4
+    verdict item 6): the EventTimeTimeout sessionizer must emit EXACTLY
+    the batch twin's sessions — all of them, final ones included —
+    no matter how arrival order is shuffled across micro-batches,
+    because sessions close on the watermark, not wall-clock.  Files are
+    hash-chunked (each micro-batch mixes early and late events) and two
+    sentinel files advance the watermark past every last_event + gap,
+    then trigger the timeout sweep."""
+    import os
+    import shutil
+    import time
+
+    from powerbi_ontology_extractor_spark.streaming.ingest import (
+        sessionize_stream_event_time,
+    )
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        # watermarks require TIMESTAMP (the parquet column is NTZ)
+        "user_id", F.col("ts").cast("timestamp").alias("ts"), "value"
+    )
+    bounds = events.agg(
+        F.min(F.unix_timestamp("ts")).alias("lo"),
+        F.max(F.unix_timestamp("ts")).alias("hi"),
+    ).first()
+    gap_minutes = 30
+    delay_s = int(bounds["hi"] - bounds["lo"]) + gap_minutes * 60 + 60
+
+    def norm(df):
+        return {
+            (
+                r["user_id"],
+                r["start_epoch"],
+                r["end_epoch"],
+                r["n_events"],
+                round(r["total_value"], 4),
+            )
+            for r in df.select(
+                "user_id",
+                F.unix_timestamp("session_start").alias("start_epoch"),
+                F.unix_timestamp("session_end").alias("end_epoch"),
+                F.col("n_events").cast("long").alias("n_events"),
+                "total_value",
+            ).collect()
+        }
+
+    expected = norm(sessionize_batch(events, gap_minutes))
+    assert len(expected) > 0
+
+    # hash-chunk the events: every chunk holds a mix of early and late
+    # event times, so per-batch arrival order is thoroughly scrambled
+    n_chunks = 4
+    chunked = events.withColumn(
+        "_chunk", F.pmod(F.xxhash64("user_id", "ts"), F.lit(n_chunks))
+    )
+    src = tmp_path / "events_shuffled"
+    src.mkdir()
+    staging = tmp_path / "staging"
+    sentinel_ts = bounds["hi"] + delay_s + gap_minutes * 60 + 10
+    t0 = time.time()
+
+    def place(df, idx):
+        d = str(staging / f"c{idx}")
+        df.coalesce(1).write.parquet(d)
+        part = next(p for p in os.listdir(d) if p.endswith(".parquet"))
+        dst = src / f"{idx:02d}.parquet"
+        shutil.copy(os.path.join(d, part), dst)
+        os.utime(dst, (t0 + idx, t0 + idx))  # strict mtime order:
+        # sentinels MUST arrive last or the watermark drops real events
+
+    for i in range(n_chunks):
+        place(chunked.where(F.col("_chunk") == i).drop("_chunk"), i)
+    sentinel = spark.createDataFrame(
+        [(-999, sentinel_ts, 0.0)], "user_id long, epoch long, value double"
+    ).select("user_id", F.timestamp_seconds("epoch").alias("ts"), "value")
+    place(sentinel, n_chunks)      # advances the watermark
+    sentinel2 = sentinel.withColumn("ts", F.col("ts") + F.expr("INTERVAL 1 SECOND"))
+    place(sentinel2, n_chunks + 1)  # fires the timeout sweep
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        sessionize_stream_event_time(
+            stream, gap_minutes=gap_minutes, watermark=f"{delay_s} seconds"
+        )
+        .writeStream.format("memory")
+        .queryName("sess_event_time")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {t for t in norm(spark.table("sess_event_time")) if t[0] != -999}
+    q.stop()
+
+    assert got == expected
