@@ -361,10 +361,12 @@ def diff_all_pairs(
     PRECONDITION: each ``pair_col`` value identifies ONE ontology —
     the diff keys are (src_repo, tgt_repo) only, so if a single repo
     carried several datasets their same-named elements would full-outer
-    join across datasets and emit spurious changes.  The corpus
-    guarantees one dataset per repo (sources/corpus.py); for
-    multi-dataset inputs pass a composite identity as ``pair_col``
-    (e.g. ``concat_ws('/', repo, dataset)``) instead.
+    join across datasets and emit spurious changes.  The ontology
+    families extracted from the synthetic corpus satisfy this (each
+    repo has one model dataset; its Standalone DAX rows produce no
+    ontology elements); for genuinely multi-dataset inputs pass a
+    composite identity as ``pair_col`` (e.g.
+    ``concat_ws('/', repo, dataset)``) instead.
 
     Returns (src_repo, tgt_repo) + CHANGE_COLS.
     """

@@ -488,17 +488,22 @@ def checkpoint_parallel(dfs: list[DataFrame]) -> list[DataFrame]:
     boundary tables are orders of magnitude smaller than the corpus,
     and the ~40 downstream emission stages each pay per-task scheduling
     overhead per partition."""
+    import os
     from concurrent.futures import ThreadPoolExecutor
 
     if not dfs:
         return []
     cores = dfs[0].sparkSession.sparkContext.defaultParallelism
-    target = max(min(cores, 64), 4)
+    target = int(
+        os.environ.get("PBI_KG_CKPT_PARTS", str(max(min(cores, 64), 4)))
+    )
 
     def ckpt(d: DataFrame) -> DataFrame:
-        if d.rdd.getNumPartitions() > target:
-            d = d.coalesce(target)
-        return d.localCheckpoint(eager=True)
+        # coalesce never RAISES a partition count, so the cap needs no
+        # getNumPartitions probe — that call forced a physical-planning
+        # pass per frame BEFORE the concurrent round (measured ~3 s of
+        # serial driver wedge at 400 repos in the round-5 job timeline)
+        return d.coalesce(target).localCheckpoint(eager=True)
 
     with ThreadPoolExecutor(max_workers=len(dfs)) as ex:
         return list(ex.map(ckpt, dfs))
