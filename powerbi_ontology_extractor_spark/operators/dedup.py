@@ -175,9 +175,30 @@ def simhash_near_duplicates(
     max_hamming: int = 3,
     max_bucket: int = 200,
 ) -> DataFrame:
+    """Pairs within Hamming distance ≤ k of the 64-bit crc32 SimHash.
+    Signature computation here; the pigeonhole pair search is
+    hamming_pairs.  Output: (id1, id2, hamming) with string ids."""
+    sigs = docs.select(
+        F.col(id_col).cast("string").alias("id"),
+        simhash64(F.col(text_col)).alias("sig"),
+    )
+    return hamming_pairs(
+        sigs, max_hamming=max_hamming, max_bucket=max_bucket, bits=64
+    )
+
+
+def hamming_pairs(
+    sigs: DataFrame,
+    max_hamming: int = 3,
+    max_bucket: int = 200,
+    bits: int = 64,
+) -> DataFrame:
     """Pairs within Hamming distance ≤ k via the pigeonhole principle:
-    split the 64-bit signature into k+1 chunks; any pair at distance ≤k
-    agrees exactly on ≥1 chunk → groupBy chunk value finds all of them.
+    split the ``bits``-wide signature into k+1 chunks; any pair at
+    distance ≤k agrees exactly on ≥1 chunk → groupBy chunk value finds
+    all of them.  ``sigs`` carries (id, sig) — any orderable id type,
+    sig a long (use bits=32 for 32-bit signatures such as
+    text.simhash32_signatures).
 
     Candidate generation is the capped groupBy-and-explode shape
     (capped_bucket_pairs), NOT a key-equality self-join: every
@@ -187,11 +208,7 @@ def simhash_near_duplicates(
     members (id-sorted, deterministic); the sig rides in the payload
     struct so no join-back is needed.  Output: (id1, id2, hamming)."""
     chunks = max_hamming + 1
-    width = 64 // chunks
-    sigs = docs.select(
-        F.col(id_col).cast("string").alias("id"),
-        simhash64(F.col(text_col)).alias("sig"),
-    )
+    width = bits // chunks
     # chunk count is a plain Python int → unroll (shift amounts must be
     # literals for shiftrightunsigned); width=64 needs no mask (and
     # (1<<64)-1 doesn't fit a long literal)

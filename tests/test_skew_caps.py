@@ -72,6 +72,27 @@ def test_embedding_zero_vectors_bounded(spark):
     }
 
 
+def test_fingerprint_matches_boilerplate_bounded(spark):
+    # N_HOT identical docs share every winnow hash → each posting list
+    # holds all N_HOT ids; uncapped that is ~12.5M pairs per hash,
+    # capped it is ≤ C(cap, 2) distinct pairs total (the same 200
+    # smallest ids survive every hash's slice), and a genuine partial
+    # overlap outside the flood still surfaces
+    from powerbi_ontology_extractor_spark.operators import text as TX
+
+    boiler = "common license header appearing verbatim in every file"
+    rows = [(i, boiler) for i in range(N_HOT)]
+    rows += [(N_HOT + 1, f"alpha preamble. {boiler} alpha tail.")]
+    rows += [(N_HOT + 2, f"beta preamble. {boiler} beta tail.")]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = TX.fingerprint_matches(
+        TX.fingerprints(d), min_shared=3, max_bucket=200
+    ).collect()
+    cap_pairs = 200 * 199 // 2
+    assert 0 < len(got) <= cap_pairs + 2 * 200 + 1
+    assert (N_HOT + 1, N_HOT + 2) in {(r["id1"], r["id2"]) for r in got}
+
+
 @pytest.fixture(scope="module")
 def hot_props(spark):
     # entity 'Date' bound identically in N_HOT dashboards (ONE
