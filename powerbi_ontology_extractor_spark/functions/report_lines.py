@@ -1,0 +1,132 @@
+"""Distributed line-renderers for the report surfaces.
+
+`reports.changelog_markdown` and `reports.mermaid_diagram` render
+collected rows on the driver — right for KB-sized reports, wrong when a
+corpus-wide changelog (every repo pair) or a graph diagram feed must be
+produced at scale.  These twins render the SAME line grammar as
+DataFrame expressions (pure codegen concat/when — no Python in the
+plan), so lines can be written as a distributed text sink; the driver
+functions remain the literal-parity surface (reference:
+ontology_diff.py:113-167, utils/visualizer.py:70-120).
+
+Null handling: the frame renderers coalesce old/new/details to ''
+before formatting (the driver twins receive ''-coalesced dicts from the
+entry queries, so rendered lines are byte-identical —
+tests/test_reports.py pins it).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: characters the mermaid node-id sanitizer rewrites to '_' AFTER the
+#: 'ont:' prefix is stripped (reports.mermaid_diagram.nid).
+_MERMAID_ID_CHARS = ":-./ "
+
+
+def _mermaid_id(col: Column) -> Column:
+    return F.translate(
+        F.replace(col, F.lit("ont:"), F.lit("")),
+        _MERMAID_ID_CHARS,
+        "_" * len(_MERMAID_ID_CHARS),
+    )
+
+
+def changelog_lines(changes: DataFrame) -> DataFrame:
+    """One markdown bullet per diff change row — the body of
+    `reports.changelog_markdown`'s Added/Removed/Modified sections
+    (section headers and the version preamble are constants the sink
+    prepends).
+
+    Returns (section, path, line); sorting by (section, path) within a
+    section reproduces the driver function's `sorted(rows, key=path)`
+    order.
+    """
+    old = F.coalesce(F.col("old_value"), F.lit(""))
+    new = F.coalesce(F.col("new_value"), F.lit(""))
+    detail = F.when(
+        F.coalesce(F.col("details"), F.lit("")) != "",
+        F.concat(F.lit(" — "), F.col("details")),
+    ).otherwise(F.lit(""))
+    val = F.coalesce(
+        F.nullif(new, F.lit("")), F.nullif(old, F.lit("")), F.lit("")
+    )
+    line = F.when(
+        F.col("change_type") == "modified",
+        F.concat(
+            F.lit("- `"), F.col("path"), F.lit("`: "),
+            old, F.lit(" → "), new, detail,
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit("- `"), F.col("path"), F.lit("` ("),
+            F.col("element_type"), F.lit("): "), val, detail,
+        )
+    )
+    return changes.select(
+        F.initcap("change_type").alias("section"),
+        F.col("path"),
+        line.alias("line"),
+    )
+
+
+def mermaid_lines(
+    nodes: DataFrame, edges: DataFrame, max_nodes: int = 60
+) -> DataFrame:
+    """Node/edge declaration lines of `reports.mermaid_diagram` for the
+    first `max_nodes` nodes by name (the driver twin truncates the
+    collected list the same way when fed name-sorted rows; the `graph
+    TD` header is a constant the sink prepends).
+
+    The kept-node set is a top-k (TakeOrderedAndProject) and both edge
+    semi-joins broadcast it, so the render never shuffles `edges`.
+
+    A diagram declares each element once: node identity is the node
+    NAME (rows for the same node across datasets collapse to the
+    min non-null type — deterministic), and duplicate rendered lines
+    (the same edge present in several datasets) are dropped.
+
+    Returns (kind, line) with kind ∈ {'node', 'edge'}.
+    """
+    keep = (
+        nodes.groupBy("node")
+        .agg(F.min("node_type").alias("node_type"))
+        .orderBy("node")
+        .limit(max_nodes)
+    )
+    label = F.replace(F.col("node"), F.lit("ont:"), F.lit(""))
+    shape = F.when(
+        F.col("node_type") == "owl:Class",
+        F.concat(_mermaid_id(F.col("node")), F.lit('[("'), label, F.lit('")]')),
+    ).otherwise(
+        F.concat(_mermaid_id(F.col("node")), F.lit('["'), label, F.lit('"]'))
+    )
+    node_lines = keep.select(
+        F.lit("node").alias("kind"),
+        F.concat(F.lit("    "), shape).alias("line"),
+    )
+    kept_ids = keep.select("node")
+    rel = F.replace(
+        F.replace(F.col("rel"), F.lit("ont:"), F.lit("")),
+        F.lit("rdfs:"),
+        F.lit(""),
+    )
+    edge_lines = (
+        edges.join(
+            F.broadcast(kept_ids.withColumnRenamed("node", "src")), "src"
+        )
+        .join(F.broadcast(kept_ids.withColumnRenamed("node", "dst")), "dst")
+        .select(
+            F.lit("edge").alias("kind"),
+            F.concat(
+                F.lit("    "),
+                _mermaid_id(F.col("src")),
+                F.lit(" -->|"), rel, F.lit("| "),
+                _mermaid_id(F.col("dst")),
+            ).alias("line"),
+        )
+    )
+    return node_lines.unionByName(edge_lines).dropDuplicates(
+        ["kind", "line"]
+    )

@@ -122,3 +122,84 @@ def test_graph_figure_spec_and_png_gate(tmp_path):
     assert spec == graph_figure_spec(nodes, edges, max_nodes=2)
     with _pytest.raises(NotImplementedError):
         render_png(spec, str(tmp_path / "g.png"))
+
+# ---------------------------------------------------------------------------
+# Distributed render twins (functions/report_lines.py): the frame
+# renderers must produce byte-identical lines to the driver functions.
+
+
+def test_changelog_lines_matches_driver(spark):
+    from powerbi_ontology_extractor_spark.functions.report_lines import (
+        changelog_lines,
+    )
+
+    changes = [
+        # added with new_value + details
+        ("added", "entity", "C", "C", None, "type=standard, properties=1",
+         "New entity"),
+        # added with empty new_value falls back to old_value
+        ("added", "rule", "R", "rule:R", "cond=x", "", ""),
+        # removed renders old_value
+        ("removed", "property", "y", "B.y", "type=String, required=False",
+         None, ""),
+        # modified with null old_value renders empty
+        ("modified", "entity", "A", "A.description", None, "New desc",
+         "Description changed"),
+        # modified without details gets no suffix
+        ("modified", "property", "x", "A.x.data_type", "String", "Decimal",
+         ""),
+    ]
+    cols = ["change_type", "element_type", "element_name", "path",
+            "old_value", "new_value", "details"]
+    df = spark.createDataFrame(changes, cols)
+    got = {
+        (r["section"], r["path"], r["line"])
+        for r in changelog_lines(df).collect()
+    }
+
+    # the driver twin receives ''-coalesced dicts (as the entry queries
+    # emit) and must render the same bullet per row
+    dicts = [
+        {k: ("" if v is None else v) for k, v in zip(cols, row)}
+        for row in changes
+    ]
+    md = changelog_markdown(dicts, "src", "tgt")
+    driver_bullets = [ln for ln in md.splitlines() if ln.startswith("- ")]
+    assert sorted(ln for _, _, ln in got) == sorted(driver_bullets)
+    # sections initcap'd from change_type
+    assert {s for s, _, _ in got} == {"Added", "Removed", "Modified"}
+
+
+def test_mermaid_lines_matches_driver(spark):
+    from powerbi_ontology_extractor_spark.functions.report_lines import (
+        mermaid_lines,
+    )
+
+    # 70 nodes so the max_nodes=60 top-k truncates; names exercise every
+    # sanitized character and both shapes
+    nodes = [
+        {"node": f"ont:N{i:02d}.sub-{i} x/{i}",
+         "node_type": "owl:Class" if i % 3 == 0 else None}
+        for i in range(70)
+    ]
+    edges = [
+        {"src": "ont:N00.sub-0 x/0", "rel": "ont:links_to",
+         "dst": "ont:N01.sub-1 x/1"},
+        {"src": "ont:N00.sub-0 x/0", "rel": "rdfs:subClassOf",
+         "dst": "ont:N69.sub-69 x/69"},  # dst dropped by the top-k
+    ]
+    ndf = spark.createDataFrame(nodes)
+    edf = spark.createDataFrame(edges)
+    got = mermaid_lines(ndf, edf, max_nodes=60).collect()
+    got_nodes = sorted(r["line"] for r in got if r["kind"] == "node")
+    got_edges = sorted(r["line"] for r in got if r["kind"] == "edge")
+
+    m = mermaid_diagram(sorted(nodes, key=lambda n: n["node"]), edges,
+                        max_nodes=60)
+    lines = m.splitlines()
+    assert lines[0] == "graph TD"
+    drv_edges = sorted(ln for ln in lines[1:] if " -->|" in ln)
+    drv_nodes = sorted(ln for ln in lines[1:] if " -->|" not in ln)
+    assert got_nodes == drv_nodes
+    assert got_edges == drv_edges
+    assert len(got_nodes) == 60 and len(got_edges) == 1
