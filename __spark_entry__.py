@@ -626,6 +626,23 @@ def _kg_mermaid_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mermaid_lines(named, edges, max_nodes=60).orderBy("kind", "line")
 
 
+def _kg_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12: rule-based report tips (semantic_debt.py:532-568) fired
+    from the A7-A9 debt-conflict census — the distributed twin
+    (report_lines.recommendation_lines: one aggregate + when-chain)
+    over the same conflicts frame kg_debt_conflicts grades.  The
+    'rule_conflict' tip can't fire here (A10 severity has no SQL
+    analogue; the branch is pinned by the driver-twin parity test in
+    tests/test_reports.py)."""
+    from powerbi_ontology_extractor_spark.functions.report_lines import (
+        recommendation_lines,
+    )
+
+    return recommendation_lines(_kg_debt_conflicts(spark, sf_dir)).orderBy(
+        "tip"
+    )
+
+
 def _kg_relevant_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C3-C4: business rules relevant to an agent's read set
     (contract_builder.py:219-230, broadcast semi-join).  The read set is
@@ -1429,6 +1446,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # stable this round; rotate into the window next round
         "kg_changelog_lines": _kg_changelog_lines,
         "kg_mermaid_lines": _kg_mermaid_lines,
+        "kg_recommendations": _kg_recommendations,
     }
 
 
@@ -1598,6 +1616,7 @@ def oracle_sql() -> dict[str, str]:
             path, _DIFF_SRC, _DIFF_TGT
         ),
         "kg_mermaid_lines": kg_oracles.mermaid_lines_sql(path, _DIFF_SRC),
+        "kg_recommendations": kg_oracles.recommendations_sql(path),
         "q_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,

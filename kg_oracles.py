@@ -1290,17 +1290,9 @@ ORDER BY name"""
     )
 
 
-def debt_conflicts_sql(corpus_path: str) -> str:
-    """A7-A9 (semantic_debt.py:334-460): entity property-set conflicts
-    (severity by overlap ratio: <0.5 CRITICAL, <0.8 WARNING, else
-    INFO), property-type conflicts (always CRITICAL), and
-    relationship-cardinality conflicts (WARNING), on the common
-    (conflict_type, severity, name, sources, detail, overlap_ratio)
-    schema; overlap_ratio is -1.0 for the non-entity families."""
-    return (
-        "WITH "
-        + _prelude(corpus_path)
-        + """,
+#: shared A7-A9 family CTEs (used by debt_conflicts_sql and
+#: recommendations_sql — change in lockstep with analytics.py)
+_DEBT_FAMS = """
 props_by AS (
     SELECT entity AS name, repo || '/' || dataset AS src,
            list_sort(list_distinct(list(pname))) AS props
@@ -1346,11 +1338,78 @@ fam_rel AS (
            -1.0 AS overlap_ratio
     FROM rel GROUP BY from_e, to_e
     HAVING count(DISTINCT card) > 1)
+"""
+
+
+def debt_conflicts_sql(corpus_path: str) -> str:
+    """A7-A9 (semantic_debt.py:334-460): entity property-set conflicts
+    (severity by overlap ratio: <0.5 CRITICAL, <0.8 WARNING, else
+    INFO), property-type conflicts (always CRITICAL), and
+    relationship-cardinality conflicts (WARNING), on the common
+    (conflict_type, severity, name, sources, detail, overlap_ratio)
+    schema; overlap_ratio is -1.0 for the non-entity families."""
+    return (
+        "WITH "
+        + _prelude(corpus_path)
+        + ","
+        + _DEBT_FAMS
+        + """
 SELECT * FROM (
     SELECT * FROM fam_entity
     UNION ALL SELECT * FROM fam_type
     UNION ALL SELECT * FROM fam_rel)
 ORDER BY conflict_type, name, sources"""
+    )
+
+
+def recommendations_sql(corpus_path: str) -> str:
+    """A12 (semantic_debt.py:532-568 / reports.py
+    recommendations_from_conflicts): rule-based report tips fired from
+    the A7-A9 conflict census (the SQL-expressible debt families;
+    A10-severity rule conflicts stay pytest-covered, so the
+    'Centralize business rules' tip is exercised by the driver-twin
+    parity test, not this oracle)."""
+    return (
+        "WITH "
+        + _prelude(corpus_path)
+        + ","
+        + _DEBT_FAMS
+        + """,
+conflicts AS (
+    SELECT conflict_type, severity FROM fam_entity
+    UNION ALL SELECT conflict_type, severity FROM fam_type
+    UNION ALL SELECT conflict_type, severity FROM fam_rel),
+agg AS (
+    SELECT count(*) AS total,
+           count(*) FILTER (WHERE severity = 'CRITICAL') AS crit,
+           count(*) FILTER (WHERE severity = 'WARNING') AS warn,
+           max(CASE WHEN conflict_type = 'type_conflict'
+                    THEN 1 ELSE 0 END) AS has_type,
+           max(CASE WHEN conflict_type = 'entity_conflict'
+                    THEN 1 ELSE 0 END) AS has_entity,
+           max(CASE WHEN conflict_type = 'rule_conflict'
+                    THEN 1 ELSE 0 END) AS has_rule
+    FROM conflicts)
+SELECT tip FROM (
+    SELECT 'No semantic conflicts detected. Good job!' AS tip
+    FROM agg WHERE total = 0
+    UNION ALL
+    SELECT 'Address ' || CAST(crit AS VARCHAR) ||
+           ' critical conflict(s) immediately - they may cause data inconsistencies.'
+    FROM agg WHERE crit > 0
+    UNION ALL
+    SELECT 'Create a shared data dictionary to standardize property types across dashboards.'
+    FROM agg WHERE has_type = 1
+    UNION ALL
+    SELECT 'Consider creating a master ontology schema that all dashboards inherit from.'
+    FROM agg WHERE has_entity = 1
+    UNION ALL
+    SELECT 'Centralize business rules in a single repository to ensure consistency.'
+    FROM agg WHERE has_rule = 1
+    UNION ALL
+    SELECT 'Schedule a semantic alignment review with stakeholders from different dashboard teams.'
+    FROM agg WHERE warn > 3)
+ORDER BY tip"""
     )
 
 

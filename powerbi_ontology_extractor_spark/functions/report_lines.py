@@ -71,6 +71,80 @@ def changelog_lines(changes: DataFrame) -> DataFrame:
     )
 
 
+def recommendation_lines(conflicts: DataFrame) -> DataFrame:
+    """Distributed twin of `reports.recommendations_from_conflicts`
+    (reference: semantic_debt.py:532-568): the same rule-based tips,
+    fired from a single aggregate over the conflicts frame (needs
+    `severity` and `conflict_type` columns) instead of a collected
+    list.  One global aggregate row, then a when-chain — no collect.
+
+    Returns a one-column (tip) frame; an empty conflicts frame yields
+    the driver twin's "no conflicts" row.
+    """
+    agg = conflicts.agg(
+        F.count("*").alias("total"),
+        F.count(F.when(F.col("severity") == "CRITICAL", 1)).alias("crit"),
+        F.count(F.when(F.col("severity") == "WARNING", 1)).alias("warn"),
+        F.max(
+            (F.col("conflict_type") == "type_conflict").cast("int")
+        ).alias("has_type"),
+        F.max(
+            (F.col("conflict_type") == "entity_conflict").cast("int")
+        ).alias("has_entity"),
+        F.max(
+            (F.col("conflict_type") == "rule_conflict").cast("int")
+        ).alias("has_rule"),
+    )
+    tips = F.array_compact(
+        F.array(
+            F.when(
+                F.col("total") == 0,
+                F.lit("No semantic conflicts detected. Good job!"),
+            ),
+            F.when(
+                F.col("crit") > 0,
+                F.concat(
+                    F.lit("Address "),
+                    F.col("crit").cast("string"),
+                    F.lit(
+                        " critical conflict(s) immediately - they may "
+                        "cause data inconsistencies."
+                    ),
+                ),
+            ),
+            F.when(
+                F.col("has_type") == 1,
+                F.lit(
+                    "Create a shared data dictionary to standardize "
+                    "property types across dashboards."
+                ),
+            ),
+            F.when(
+                F.col("has_entity") == 1,
+                F.lit(
+                    "Consider creating a master ontology schema that all "
+                    "dashboards inherit from."
+                ),
+            ),
+            F.when(
+                F.col("has_rule") == 1,
+                F.lit(
+                    "Centralize business rules in a single repository to "
+                    "ensure consistency."
+                ),
+            ),
+            F.when(
+                F.col("warn") > 3,
+                F.lit(
+                    "Schedule a semantic alignment review with "
+                    "stakeholders from different dashboard teams."
+                ),
+            ),
+        )
+    )
+    return agg.select(F.explode(tips).alias("tip"))
+
+
 def mermaid_lines(
     nodes: DataFrame, edges: DataFrame, max_nodes: int = 60
 ) -> DataFrame:

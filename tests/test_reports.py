@@ -203,3 +203,30 @@ def test_mermaid_lines_matches_driver(spark):
     assert got_nodes == drv_nodes
     assert got_edges == drv_edges
     assert len(got_nodes) == 60 and len(got_edges) == 1
+
+
+def test_recommendation_lines_matches_driver(spark):
+    from powerbi_ontology_extractor_spark.functions.report_lines import (
+        recommendation_lines,
+    )
+
+    # fires every branch: critical, type/entity/rule types, >3 warnings
+    conflicts = (
+        [("type_conflict", "CRITICAL"), ("entity_conflict", "WARNING")]
+        + [("rule_conflict", "WARNING")] * 3
+        + [("relationship_conflict", "WARNING")]
+    )
+    df = spark.createDataFrame(conflicts, ["conflict_type", "severity"])
+    got = sorted(r["tip"] for r in recommendation_lines(df).collect())
+    want = sorted(
+        recommendations_from_conflicts(
+            [{"conflict_type": t, "severity": s} for t, s in conflicts]
+        )
+    )
+    assert got == want and len(got) == 5
+
+    # empty frame → the driver twin's no-conflicts row
+    empty = spark.createDataFrame([], "conflict_type string, severity string")
+    assert [r["tip"] for r in recommendation_lines(empty).collect()] == (
+        recommendations_from_conflicts([])
+    )
