@@ -1145,6 +1145,9 @@ mc_ranked AS (
     FROM mc),
 conflicts AS (
     SELECT a.concept AS concept, a.src AS dashboard1, b.src AS dashboard2,
+           a.formula AS definition1, b.formula AS definition2,
+           '''' || a.concept || ''' defined differently in ' || a.src ||
+               ' vs ' || b.src AS description,
            CASE WHEN lower(a.formula) = lower(b.formula) THEN 'LOW'
                 WHEN contains(a.formula, '>') AND contains(b.formula, '>')
                      AND regexp_extract(a.formula, '[><=]+\s*(\d+)', 1) <> ''
@@ -1159,12 +1162,26 @@ conflicts AS (
     WHERE a.formula <> b.formula)
 """
 
-# duplicate-logic groups (analyzer.py:154-200), shared likewise
+# duplicate-logic groups (analyzer.py:154-200), shared likewise.
+# measure_name/description mirror analytics.duplicate_logic: sorted
+# name exemplars, first = min; the same-name/different-name branches.
 _DUP_CTE = r"""
 dupg AS (
-    SELECT min(name) AS measure_name,
-           CAST(count(*) AS BIGINT) AS n_dashboards
-    FROM (SELECT mname AS name,
+    SELECT CASE WHEN count(DISTINCT name) = 1 THEN min(name)
+                ELSE min(name) || ' (and ' ||
+                     CAST(count(*) - 1 AS VARCHAR) || ' others)' END
+               AS measure_name,
+           CAST(count(*) AS BIGINT) AS n_dashboards,
+           list_sort(list(src)) AS dashboards,
+           min(formula) AS dax_formula,
+           CASE WHEN count(DISTINCT name) = 1
+                THEN 'Same measure ''' || min(name) || ''' duplicated across '
+                     || CAST(count(*) AS VARCHAR) || ' dashboards'
+                ELSE 'Same logic with different names: ' ||
+                     array_to_string(list_sort(list(name)), ', ') END
+               AS description
+    FROM (SELECT mname AS name, repo || '/' || dataset AS src,
+                 expr AS formula,
                  lower(regexp_replace(expr, '\s+', '', 'g')) AS norm
           FROM msr) m
     GROUP BY norm HAVING count(*) > 1)
@@ -1251,15 +1268,9 @@ SELECT CAST((SELECT count(*) FROM conflicts) AS BIGINT) AS total_conflicts,
     )
 
 
-def canonical_definitions_sql(corpus_path: str) -> str:
-    """A5 (analyzer.py:240-295): per multiply-defined measure name, the
-    mode of the whitespace-stripped lowercase formula is the suggested
-    canonical; confidence = mode_count / total.  Tie-break = (count
-    DESC, normalized formula ASC), same as the engine's window."""
-    return (
-        "WITH "
-        + _prelude(corpus_path)
-        + r""",
+# canonical-definition CTEs (analyzer.py:240-295) — shared by
+# canonical_definitions_sql and debt_report_lines_sql
+_CANON_CTE = r"""
 cdm AS (
     SELECT lower(mname) AS name, repo || '/' || dataset AS src,
            lower(regexp_replace(expr, '\s+', '', 'g')) AS norm
@@ -1274,7 +1285,21 @@ cd_rank AS (
     SELECT c.*, t.total,
            row_number() OVER (PARTITION BY c.name
                               ORDER BY c.cnt DESC, c.norm) AS rk
-    FROM cd_counts c JOIN cd_tot t USING (name)),
+    FROM cd_counts c JOIN cd_tot t USING (name))
+"""
+
+
+def canonical_definitions_sql(corpus_path: str) -> str:
+    """A5 (analyzer.py:240-295): per multiply-defined measure name, the
+    mode of the whitespace-stripped lowercase formula is the suggested
+    canonical; confidence = mode_count / total.  Tie-break = (count
+    DESC, normalized formula ASC), same as the engine's window."""
+    return (
+        "WITH "
+        + _prelude(corpus_path)
+        + ","
+        + _CANON_CTE
+        + r""",
 cd_alt AS (
     SELECT name, flatten(list(srcs)) AS alts
     FROM cd_rank WHERE rk > 1 GROUP BY name)
@@ -1410,6 +1435,60 @@ SELECT tip FROM (
     SELECT 'Schedule a semantic alignment review with stakeholders from different dashboard teams.'
     FROM agg WHERE warn > 3)
 ORDER BY tip"""
+    )
+
+
+def debt_report_lines_sql(corpus_path: str) -> str:
+    """V2/A1/A3/A5 (analyzer.py:343-420 report layout): the three
+    per-item body sections of the HTML semantic-debt report — conflict
+    divs, duplication divs and canonical-suggestion table rows — built
+    from the SAME conflict/duplication/canonical grammars the
+    kg_measure_conflicts / kg_duplicate_logic / kg_canonical_definitions
+    oracles grade.  The `{confidence:.0%}` cell renders via
+    printf('%.0f') (HALF_EVEN on exact doubles, matching Python format
+    and Spark format_number)."""
+    return (
+        "WITH "
+        + _prelude(corpus_path)
+        + ","
+        + _CONFLICTS_CTE
+        + ","
+        + _DUP_CTE
+        + ","
+        + _CANON_CTE
+        + r"""
+SELECT section, line FROM (
+    SELECT 'conflict' AS section,
+           e'\n    <div class="conflict">\n        <h3>' || concept ||
+           e'</h3>\n        <p><strong>Severity:</strong> ' || severity ||
+           e'</p>\n        <p><strong>' || dashboard1 || ':</strong> ' ||
+           definition1 ||
+           e'</p>\n        <p><strong>' || dashboard2 || ':</strong> ' ||
+           definition2 ||
+           e'</p>\n        <p>' || description || e'</p>\n    </div>'
+               AS line
+    FROM conflicts
+    UNION ALL
+    SELECT 'duplication',
+           e'\n    <div class="duplication">\n        <h3>' ||
+           measure_name ||
+           e'</h3>\n        <p><strong>Dashboards:</strong> ' ||
+           array_to_string(dashboards, ', ') ||
+           e'</p>\n        <p><strong>Formula:</strong> <code>' ||
+           dax_formula ||
+           e'</code></p>\n        <p>' || description ||
+           e'</p>\n    </div>'
+    FROM dupg
+    UNION ALL
+    SELECT 'canonical',
+           e'\n        <tr>\n            <td>' || name ||
+           e'</td>\n            <td><code>' || substr(norm, 1, 100) ||
+           e'...</code></td>\n            <td>' ||
+           printf('%.0f', CAST(cnt AS DOUBLE) / total * 100) ||
+           e'%</td>\n            <td>' || CAST(len(srcs) AS VARCHAR) ||
+           e'</td>\n        </tr>'
+    FROM cd_rank WHERE rk = 1)
+ORDER BY section, line"""
     )
 
 

@@ -145,6 +145,78 @@ def recommendation_lines(conflicts: DataFrame) -> DataFrame:
     return agg.select(F.explode(tips).alias("tip"))
 
 
+def debt_report_lines(
+    conflicts: DataFrame,
+    duplications: DataFrame,
+    canonical: DataFrame,
+) -> DataFrame:
+    """Distributed twin of `reports.html_debt_report`'s three per-item
+    sections (reference: analyzer.py:343-420): the conflict divs, the
+    duplication divs and the canonical-suggestion table rows, rendered
+    as codegen concat expressions so a corpus-wide report body can be
+    written as a text sink.  The page head/footer and the total-debt
+    box are constants + one aggregate the sink prepends (driver twin
+    stays the literal-parity surface — tests/test_reports.py).
+
+    Inputs are the unmodified `measure_conflicts`, `duplicate_logic`
+    and `canonical_definitions` frames.  The `{confidence:.0%}` cell
+    uses HALF_EVEN decimal rounding in all three renderers (Python
+    format / Java format_number / C printf agree on exact doubles).
+
+    Returns (section, line) with section ∈ {'conflict', 'duplication',
+    'canonical'}.
+    """
+    conflict_lines = conflicts.select(
+        F.lit("conflict").alias("section"),
+        F.concat(
+            F.lit('\n    <div class="conflict">\n        <h3>'),
+            F.col("concept"),
+            F.lit("</h3>\n        <p><strong>Severity:</strong> "),
+            F.col("severity"),
+            F.lit("</p>\n        <p><strong>"),
+            F.col("dashboard1"),
+            F.lit(":</strong> "),
+            F.col("definition1"),
+            F.lit("</p>\n        <p><strong>"),
+            F.col("dashboard2"),
+            F.lit(":</strong> "),
+            F.col("definition2"),
+            F.lit("</p>\n        <p>"),
+            F.col("description"),
+            F.lit("</p>\n    </div>"),
+        ).alias("line"),
+    )
+    dup_lines = duplications.select(
+        F.lit("duplication").alias("section"),
+        F.concat(
+            F.lit('\n    <div class="duplication">\n        <h3>'),
+            F.col("measure_name"),
+            F.lit("</h3>\n        <p><strong>Dashboards:</strong> "),
+            F.array_join("dashboards", ", "),
+            F.lit("</p>\n        <p><strong>Formula:</strong> <code>"),
+            F.col("dax_formula"),
+            F.lit("</code></p>\n        <p>"),
+            F.col("description"),
+            F.lit("</p>\n    </div>"),
+        ).alias("line"),
+    )
+    canon_lines = canonical.select(
+        F.lit("canonical").alias("section"),
+        F.concat(
+            F.lit("\n        <tr>\n            <td>"),
+            F.col("name"),
+            F.lit("</td>\n            <td><code>"),
+            F.substring(F.col("suggested_definition"), 1, 100),
+            F.lit("...</code></td>\n            <td>"),
+            F.format_number(F.col("confidence") * 100, 0),
+            F.lit("%</td>\n            <td>"),
+            F.size("dashboards_using").cast("string"),
+            F.lit("</td>\n        </tr>"),
+        ).alias("line"),
+    )
+    return conflict_lines.unionByName(dup_lines).unionByName(canon_lines)
+
+
 def mermaid_lines(
     nodes: DataFrame, edges: DataFrame, max_nodes: int = 60
 ) -> DataFrame:

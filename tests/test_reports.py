@@ -230,3 +230,85 @@ def test_recommendation_lines_matches_driver(spark):
     assert [r["tip"] for r in recommendation_lines(empty).collect()] == (
         recommendations_from_conflicts([])
     )
+
+
+def test_debt_report_lines_matches_driver(spark):
+    from powerbi_ontology_extractor_spark.functions.report_lines import (
+        debt_report_lines,
+    )
+    from powerbi_ontology_extractor_spark.functions.reports import (
+        html_debt_report,
+    )
+
+    conflicts = [
+        {"concept": "total sales", "severity": "HIGH",
+         "dashboard1": "r1/D1", "definition1": "SUM(A[X])",
+         "dashboard2": "r2/D2", "definition2": "SUM(B[Y])",
+         "description": "'total sales' defined differently in r1/D1 vs r2/D2"},
+        {"concept": "margin", "severity": "LOW",
+         "dashboard1": "r1/D1", "definition1": "a - b",
+         "dashboard2": "r3/D3", "definition2": "A - B",
+         "description": "'margin' defined differently in r1/D1 vs r3/D3"},
+    ]
+    dups = [
+        {"measure_name": "KPI", "dashboards": ["r1/D1", "r2/D2", "r3/D3"],
+         "dax_formula": "SUM(A[X])",
+         "description": "Same measure 'KPI' duplicated across 3 dashboards"},
+        {"measure_name": "A (and 1 others)", "dashboards": ["r1/D1"],
+         "dax_formula": "1+1",
+         "description": "Same logic with different names: A, B"},
+    ]
+    canon = [
+        # 2/3 → 67%; long definition exercises the [:100] + '...' cell
+        {"name": "kpi", "suggested_definition": "sum(a[x])" * 20,
+         "confidence": 2 / 3, "dashboards_using": ["r1/D1", "r2/D2"]},
+        # 0.625*100 = 62.5 → HALF_EVEN 62% in all three renderers
+        {"name": "margin", "suggested_definition": "a-b",
+         "confidence": 0.625,
+         "dashboards_using": ["r1/D1", "r2/D2", "r3/D3"]},
+    ]
+
+    cdf = spark.createDataFrame(
+        [tuple(c[k] for k in ("concept", "dashboard1", "definition1",
+                              "dashboard2", "definition2", "severity",
+                              "description")) for c in conflicts],
+        ["concept", "dashboard1", "definition1", "dashboard2",
+         "definition2", "severity", "description"],
+    )
+    ddf = spark.createDataFrame(
+        [tuple(d[k] for k in ("measure_name", "dashboards", "dax_formula",
+                              "description")) for d in dups],
+        "measure_name string, dashboards array<string>, "
+        "dax_formula string, description string",
+    )
+    kdf = spark.createDataFrame(
+        [tuple(c[k] for k in ("name", "suggested_definition", "confidence",
+                              "dashboards_using")) for c in canon],
+        "name string, suggested_definition string, confidence double, "
+        "dashboards_using array<string>",
+    )
+    rows = debt_report_lines(cdf, ddf, kdf).collect()
+    by_sec = {}
+    for r in rows:
+        by_sec.setdefault(r["section"], []).append(r["line"])
+
+    html = html_debt_report(
+        conflicts, dups,
+        {"total_cost": 120000.0, "total_conflicts": 2,
+         "total_duplications": 2},
+        canon,
+    )
+    # byte parity: joining the twin's lines in driver input order must
+    # reproduce each section body verbatim inside the driver's HTML
+    order = {
+        "conflict": [c["concept"] for c in conflicts],
+        "duplication": [d["measure_name"] for d in dups],
+        "canonical": [c["name"] for c in canon],
+    }
+    for sec, keys in order.items():
+        lines = by_sec[sec]
+        assert len(lines) == len(keys)
+        ordered = sorted(lines, key=lambda ln: keys.index(
+            next(k for k in keys if f">{k}<" in ln or f"<h3>{k}</h3>" in ln)))
+        assert "".join(ordered) in html
+    assert "<td>67%</td>" in html and "<td>62%</td>" in html
