@@ -119,8 +119,7 @@ def main() -> None:
         "q_embed_topk",
         "q_docs_token_counts",
     ]:
-        timed(name, lambda n=name: q[n](spark, sf_dir)._jdf.toJavaRDD().count()
-              if False else q[n](spark, sf_dir).count())
+        timed(name, lambda n=name: q[n](spark, sf_dir).count())
 
     # 3. near-dup dedup over documents (LSH + verify)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
