@@ -6,13 +6,17 @@ container):
 - **PPM (P6) images**: full header+raster parser (comments, arbitrary
   maxval ≤ 65535) → grayscale signal → bucket-mean features.
 - **PNG images**: chunk walker + zlib inflate + all five scanline
-  un-filters (8-bit gray/RGB/gray-alpha/RGBA, non-interlaced) →
-  grayscale signal → bucket-mean features.
+  un-filters (gray 1/2/4/8/16-bit, RGB/gray-alpha/RGBA 8/16-bit,
+  palette 1/2/4/8-bit with PLTE + optional tRNS alpha; non-interlaced)
+  → grayscale signal → bucket-mean features.
+- **baseline JPEG images**: pure-numpy huffman + dequant + IDCT in
+  ``operators/jpeg.py`` (4:2:0/4:4:4; progressive declared out).
 - **WAV (RIFF/PCM) audio**: chunk walker (fmt/data, 8/16/32-bit PCM,
   any channel count) → mono float signal → bucket-mean features.
-- other containers (JPEG/MP4…) still raise NotImplementedError — they
-  need real codec libraries; ``fake=True`` keeps the deterministic
-  hash-based stand-in for pipeline tests over arbitrary bytes.
+- remaining containers (MP4/H.264, progressive JPEG, Adam7 PNG…)
+  raise NotImplementedError — they need real codec libraries;
+  ``fake=True`` keeps the deterministic hash-based stand-in for
+  pipeline tests over arbitrary bytes.
 
 Design for 100 TB of media: binary payloads never shuffle.  All
 feature extraction is a narrow mapInPandas over the scan; only the
@@ -111,26 +115,34 @@ def decode_ppm(payload: bytes) -> np.ndarray:
 
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
-# channels per PNG color type (8-bit, non-interlaced; palette needs the
-# PLTE table and stays unsupported)
-_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+# samples per pixel by color type; palette rows (type 3) carry one
+# index sample and expand to RGB/RGBA through PLTE after un-filtering
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+# spec-legal bit depths per color type (PNG spec §11.2.2)
+_PNG_DEPTHS = {0: {1, 2, 4, 8, 16}, 2: {8, 16}, 3: {1, 2, 4, 8},
+               4: {8, 16}, 6: {8, 16}}
 
 
 def decode_png(payload: bytes) -> np.ndarray:
-    """Parse an 8-bit non-interlaced PNG → float array (h, w, channels)
-    in [0,1], pure stdlib-zlib + numpy (no codec libs).
+    """Parse a non-interlaced PNG → float array (h, w, channels) in
+    [0,1], pure stdlib-zlib + numpy (no codec libs).
 
-    Supports color types 0 (gray), 2 (RGB), 4 (gray+alpha), 6 (RGBA)
-    and all five scanline filters (None/Sub/Up/Average/Paeth, the full
-    filter method 0 of the PNG spec).  Sub un-filtering is a per-channel
-    cumulative sum (vectorized); Average/Paeth walk the scanline (their
-    recurrence is inherently sequential).  Palette / 16-bit / Adam7
-    raise NotImplementedError explicitly.
+    Supports color types 0 (gray, 1/2/4/8/16-bit), 2 (RGB, 8/16-bit),
+    3 (palette, 1/2/4/8-bit — PLTE lookup, optional tRNS alpha),
+    4 (gray+alpha, 8/16-bit), 6 (RGBA, 8/16-bit) and all five scanline
+    filters (None/Sub/Up/Average/Paeth, the full filter method 0 of the
+    PNG spec — filters operate on BYTES at distance bpp, so one
+    un-filter loop covers every depth).  Sub un-filtering is a
+    per-byte-lane cumulative sum (vectorized); Average/Paeth walk the
+    scanline (their recurrence is inherently sequential).  Adam7
+    interlacing raises NotImplementedError explicitly.
     """
     if payload[: len(_PNG_SIG)] != _PNG_SIG:
         raise ValueError("not a PNG payload")
     pos = len(_PNG_SIG)
     ihdr = None
+    plte = None
+    trns = None
     idat = bytearray()
     while pos + 8 <= len(payload):
         size = int.from_bytes(payload[pos : pos + 4], "big")
@@ -138,6 +150,10 @@ def decode_png(payload: bytes) -> np.ndarray:
         body = payload[pos + 8 : pos + 8 + size]
         if ctype == b"IHDR":
             ihdr = body
+        elif ctype == b"PLTE":
+            plte = body
+        elif ctype == b"tRNS":
+            trns = body
         elif ctype == b"IDAT":
             idat += body
         elif ctype == b"IEND":
@@ -148,14 +164,20 @@ def decode_png(payload: bytes) -> np.ndarray:
     width = int.from_bytes(ihdr[0:4], "big")
     height = int.from_bytes(ihdr[4:8], "big")
     bit_depth, color_type, _compression, _filter, interlace = ihdr[8:13]
-    if bit_depth != 8:
-        raise NotImplementedError(f"{bit_depth}-bit PNG (8-bit only)")
     if color_type not in _PNG_CHANNELS:
-        raise NotImplementedError(f"PNG color type {color_type} (palette)")
+        raise ValueError(f"unknown PNG color type {color_type}")
+    if bit_depth not in _PNG_DEPTHS[color_type]:
+        raise ValueError(
+            f"illegal bit depth {bit_depth} for color type {color_type}"
+        )
     if interlace != 0:
         raise NotImplementedError("Adam7-interlaced PNG")
+    if color_type == 3 and (plte is None or len(plte) % 3 != 0):
+        raise ValueError("palette PNG missing or malformed PLTE chunk")
     channels = _PNG_CHANNELS[color_type]
-    stride = width * channels
+    bits_pp = channels * bit_depth
+    stride = (width * bits_pp + 7) // 8
+    bpp = max(1, bits_pp // 8)  # filter distance in BYTES (spec: ≥1)
     import zlib
 
     raw = zlib.decompress(bytes(idat))
@@ -170,23 +192,23 @@ def decode_png(payload: bytes) -> np.ndarray:
         ).astype(np.int32)
         if fbyte == 0:  # None
             recon = row
-        elif fbyte == 1:  # Sub: per-channel cumulative sum
+        elif fbyte == 1:  # Sub: per-byte-lane cumulative sum
             recon = row.copy()
-            for c in range(channels):
-                recon[c::channels] = np.cumsum(recon[c::channels]) & 0xFF
+            for c in range(bpp):
+                recon[c::bpp] = np.cumsum(recon[c::bpp]) & 0xFF
         elif fbyte == 2:  # Up
             recon = (row + prev) & 0xFF
         elif fbyte == 3:  # Average
             recon = row.copy()
             for i in range(stride):
-                a = recon[i - channels] if i >= channels else 0
+                a = recon[i - bpp] if i >= bpp else 0
                 recon[i] = (recon[i] + ((a + prev[i]) >> 1)) & 0xFF
         elif fbyte == 4:  # Paeth
             recon = row.copy()
             for i in range(stride):
-                a = int(recon[i - channels]) if i >= channels else 0
+                a = int(recon[i - bpp]) if i >= bpp else 0
                 b = int(prev[i])
-                c = int(prev[i - channels]) if i >= channels else 0
+                c = int(prev[i - bpp]) if i >= bpp else 0
                 p = a + b - c
                 pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
                 pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
@@ -195,6 +217,37 @@ def decode_png(payload: bytes) -> np.ndarray:
             raise ValueError(f"unknown PNG filter {fbyte}")
         out[y] = recon
         prev = recon.astype(np.int32)
+
+    if bit_depth == 16:  # big-endian sample pairs
+        vals = (out[:, 0::2].astype(np.uint16) << 8) | out[:, 1::2]
+        return (
+            vals.reshape(height, width, channels).astype(np.float64) / 65535.0
+        )
+    if bit_depth < 8:  # sub-byte samples, MSB-first (gray or palette)
+        bits = np.unpackbits(out, axis=1)
+        weights = 1 << np.arange(bit_depth - 1, -1, -1)
+        samples = (
+            bits.reshape(height, -1, bit_depth) @ weights
+        )[:, :width]  # drop padding bits at row end
+    else:
+        samples = out
+    if color_type == 3:
+        table = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        idx = samples.reshape(height, width)
+        if idx.max(initial=0) >= len(table):
+            raise ValueError("PNG palette index out of range")
+        rgb = table[idx]
+        if trns is None:
+            return rgb.astype(np.float64) / 255.0
+        alpha = np.full(len(table), 255, dtype=np.uint8)
+        given = np.frombuffer(trns, dtype=np.uint8)[: len(table)]
+        alpha[: len(given)] = given
+        rgba = np.concatenate([rgb, alpha[idx][..., None]], axis=2)
+        return rgba.astype(np.float64) / 255.0
+    if bit_depth < 8:  # gray 1/2/4-bit
+        return samples.reshape(height, width, 1).astype(np.float64) / float(
+            (1 << bit_depth) - 1
+        )
     return out.reshape(height, width, channels).astype(np.float64) / 255.0
 
 
@@ -243,9 +296,9 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
 def decode_media(payload: bytes, media_type: str, dim: int, fake: bool) -> np.ndarray:
     """Decode one media payload to a ``dim``-float feature vector.
 
-    Real decoders: PPM (P6) images, 8-bit PNG images, baseline JPEG
-    images and RIFF/PCM WAV audio, parsed with pure stdlib+numpy (no
-    codec libs needed).  Remaining containers (MP4/H.264, progressive
+    Real decoders: PPM (P6) images, PNG images (gray/RGB/GA/RGBA
+    8/16-bit + palette 1/2/4/8-bit), baseline JPEG images and RIFF/PCM
+    WAV audio, parsed with pure stdlib+numpy (no codec libs needed).  Remaining containers (MP4/H.264, progressive
     JPEG, …) genuinely require codec libraries absent from this
     environment and raise NotImplementedError.  ``fake=True`` derives
     the vector from the payload's sha256 stream instead — deterministic
@@ -278,7 +331,7 @@ def decode_media(payload: bytes, media_type: str, dim: int, fake: bool) -> np.nd
         return _bucket_features(samples, dim)
     raise NotImplementedError(
         f"no pure-numpy decoder for this {media_type} container; "
-        "PPM (P6), 8-bit PNG, baseline JPEG and PCM WAV are supported, "
+        "PPM (P6), PNG, baseline JPEG and PCM WAV are supported, "
         "or pass fake=True"
     )
 
@@ -360,6 +413,134 @@ def synth_png_bytes(width: int = 24, height: int = 16, seed: int = 11) -> bytes:
         + chunk(b"IDAT", zlib.compress(bytes(raw), 9))
         + chunk(b"IEND", b"")
     )
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    import zlib
+
+    return (
+        len(body).to_bytes(4, "big")
+        + ctype
+        + body
+        + zlib.crc32(ctype + body).to_bytes(4, "big")
+    )
+
+
+def _png_filter_rows(img: np.ndarray, bpp: int) -> bytes:
+    """Apply a DIFFERENT scanline filter per row (cycling None/Sub/Up/
+    Average/Paeth at byte distance ``bpp``) to a (h, stride) uint8
+    raster — every un-filter branch of decode_png gets exercised."""
+    height, stride = img.shape
+    raw = bytearray()
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(height):
+        cur = img[y].astype(np.int32)
+        f = y % 5
+        if f == 0:
+            filt = cur
+        elif f == 1:  # Sub
+            left = np.concatenate([np.zeros(bpp, dtype=np.int32), cur[:-bpp]])
+            filt = (cur - left) & 0xFF
+        elif f == 2:  # Up
+            filt = (cur - prev) & 0xFF
+        elif f == 3:  # Average
+            left = np.concatenate([np.zeros(bpp, dtype=np.int32), cur[:-bpp]])
+            filt = (cur - ((left + prev) >> 1)) & 0xFF
+        else:  # Paeth
+            filt = cur.copy()
+            for i in range(stride):
+                a = int(cur[i - bpp]) if i >= bpp else 0
+                b = int(prev[i])
+                c = int(prev[i - bpp]) if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                filt[i] = (cur[i] - pred) & 0xFF
+        raw.append(f)
+        raw += filt.astype(np.uint8).tobytes()
+        prev = cur
+    return bytes(raw)
+
+
+def synth_png_palette_bytes(
+    width: int = 21,
+    height: int = 11,
+    bit_depth: int = 4,
+    seed: int = 5,
+    with_trns: bool = True,
+) -> tuple[bytes, np.ndarray, np.ndarray]:
+    """Deterministic palette PNG fixture at any legal index depth
+    (1/2/4/8-bit), filters cycling per row.  Returns (payload, palette
+    (n,3) uint8, index raster (h,w)) so tests can assert the exact
+    PLTE-expanded pixels; with_trns appends a partial tRNS table
+    (earlier entries translucent, later ones defaulting to opaque)."""
+    import zlib
+
+    rng = np.random.RandomState(seed)
+    n_colors = min(1 << bit_depth, 13)
+    palette = rng.randint(0, 256, (n_colors, 3), dtype=np.uint8)
+    idx = (
+        np.fromfunction(lambda y, x: (x * 3 + y * 7), (height, width)).astype(
+            np.int64
+        )
+        + rng.randint(0, n_colors, (height, width))
+    ) % n_colors
+    idx = idx.astype(np.uint8)
+    if bit_depth == 8:
+        rows = idx
+    else:
+        shifts = np.arange(bit_depth - 1, -1, -1)
+        bits = ((idx[:, :, None] >> shifts) & 1).reshape(height, -1)
+        rows = np.packbits(bits.astype(np.uint8), axis=1)
+    raw = _png_filter_rows(rows, bpp=1)
+    ihdr = (
+        width.to_bytes(4, "big")
+        + height.to_bytes(4, "big")
+        + bytes([bit_depth, 3, 0, 0, 0])
+    )
+    chunks = _PNG_SIG + _png_chunk(b"IHDR", ihdr)
+    chunks += _png_chunk(b"PLTE", palette.tobytes())
+    if with_trns:  # partial table: remaining entries default to opaque
+        n_trns = max(1, n_colors // 2)
+        chunks += _png_chunk(
+            b"tRNS", bytes((17 * (i + 3)) % 256 for i in range(n_trns))
+        )
+    chunks += _png_chunk(b"IDAT", zlib.compress(raw, 9))
+    chunks += _png_chunk(b"IEND", b"")
+    return chunks, palette, idx
+
+
+def synth_png16_bytes(
+    width: int = 9, height: int = 7, seed: int = 3
+) -> tuple[bytes, np.ndarray]:
+    """Deterministic 16-bit RGB PNG fixture (big-endian samples,
+    filters cycling per row at bpp=6).  Returns (payload, the exact
+    (h,w,3) uint16 raster)."""
+    import zlib
+
+    rng = np.random.RandomState(seed)
+    img16 = (
+        np.fromfunction(
+            lambda y, x, c: (x * 4099 + y * 257 + c * 29), (height, width, 3)
+        ).astype(np.int64)
+        ^ rng.randint(0, 1 << 16, (height, width, 3), dtype=np.int64)
+    ).astype(np.uint16) % 65536
+    rows = np.frombuffer(
+        img16.astype(">u2").tobytes(), dtype=np.uint8
+    ).reshape(height, width * 6)
+    raw = _png_filter_rows(rows, bpp=6)
+    ihdr = (
+        width.to_bytes(4, "big")
+        + height.to_bytes(4, "big")
+        + bytes([16, 2, 0, 0, 0])
+    )
+    payload = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw, 9))
+        + _png_chunk(b"IEND", b"")
+    )
+    return payload, img16
 
 
 def synth_wav_bytes(

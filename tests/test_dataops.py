@@ -298,21 +298,115 @@ def test_png_rgba_and_declared_gaps():
     assert img.shape == (3, 5, 4)
     assert np.array_equal((img * 255).round().astype(np.uint8), px)
 
-    # declared gaps: palette color type and 16-bit depth
+    # malformed inputs: palette without PLTE, 16-bit raster-size lie
     ihdr_pal = w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([8, 3, 0, 0, 0])
     bad = (
         MM._PNG_SIG + chunk(b"IHDR", ihdr_pal)
         + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
     )
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError, match="PLTE"):
         MM.decode_png(bad)
     ihdr16 = w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([16, 2, 0, 0, 0])
     bad16 = (
         MM._PNG_SIG + chunk(b"IHDR", ihdr16)
         + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
     )
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError, match="size mismatch"):
         MM.decode_png(bad16)
+    # the remaining declared gap: Adam7 interlacing
+    ihdr_i = w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([8, 6, 0, 0, 1])
+    inter = (
+        MM._PNG_SIG + chunk(b"IHDR", ihdr_i)
+        + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+    )
+    with pytest.raises(NotImplementedError, match="Adam7"):
+        MM.decode_png(inter)
+
+
+def test_png_palette_roundtrip():
+    """Palette PNGs at every legal index depth reconstruct EXACTLY:
+    PLTE lookup, partial-tRNS alpha (absent entries default opaque),
+    sub-byte index unpacking, filters cycling through all five
+    branches at bpp=1."""
+    import numpy as np
+    import pytest
+
+    for depth in (1, 2, 4, 8):
+        payload, palette, idx = MM.synth_png_palette_bytes(
+            bit_depth=depth, with_trns=False
+        )
+        img = MM.decode_png(payload)
+        assert img.shape == (11, 21, 3)
+        want = palette[idx]
+        assert np.array_equal((img * 255).round().astype(np.uint8), want)
+
+    payload, palette, idx = MM.synth_png_palette_bytes(
+        bit_depth=4, with_trns=True
+    )
+    img = MM.decode_png(payload)
+    assert img.shape == (11, 21, 4)
+    n_trns = max(1, len(palette) // 2)
+    alpha = np.full(len(palette), 255, dtype=np.uint8)
+    alpha[:n_trns] = [(17 * (i + 3)) % 256 for i in range(n_trns)]
+    want = np.concatenate(
+        [palette[idx], alpha[idx][..., None]], axis=2
+    )
+    assert np.array_equal((img * 255).round().astype(np.uint8), want)
+
+    # out-of-range index must fail loudly, not wrap
+    tampered, palette, idx = MM.synth_png_palette_bytes(
+        bit_depth=8, with_trns=False
+    )
+    import zlib
+
+    rows = idx.copy()
+    rows[0, 0] = len(palette)  # first index past the table
+    raw = MM._png_filter_rows(rows, bpp=1)
+    ihdr = (21).to_bytes(4, "big") + (11).to_bytes(4, "big") + bytes(
+        [8, 3, 0, 0, 0]
+    )
+    bad = (
+        MM._PNG_SIG
+        + MM._png_chunk(b"IHDR", ihdr)
+        + MM._png_chunk(b"PLTE", palette.tobytes())
+        + MM._png_chunk(b"IDAT", zlib.compress(raw))
+        + MM._png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="palette index"):
+        MM.decode_png(bad)
+
+
+def test_png_16bit_and_lowdepth_gray_roundtrip():
+    """16-bit RGB reconstructs the exact big-endian samples through
+    all five filters at bpp=6; 2-bit grayscale unpacks sub-byte
+    samples and scales by the depth's max value."""
+    import zlib
+
+    import numpy as np
+
+    payload, img16 = MM.synth_png16_bytes()
+    img = MM.decode_png(payload)
+    assert img.shape == (7, 9, 3)
+    assert np.array_equal((img * 65535).round().astype(np.uint16), img16)
+    feats = MM.decode_media(payload, "image", 8, fake=False)
+    assert feats.shape == (8,) and all(0.0 <= x <= 1.0 for x in feats)
+
+    h, w = 5, 11
+    rng = np.random.RandomState(2)
+    gray = rng.randint(0, 4, (h, w), dtype=np.uint8)  # 2-bit samples
+    bits = ((gray[:, :, None] >> np.arange(1, -1, -1)) & 1).reshape(h, -1)
+    rows = np.packbits(bits.astype(np.uint8), axis=1)
+    raw = MM._png_filter_rows(rows, bpp=1)
+    ihdr = w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([2, 0, 0, 0, 0])
+    payload2 = (
+        MM._PNG_SIG
+        + MM._png_chunk(b"IHDR", ihdr)
+        + MM._png_chunk(b"IDAT", zlib.compress(raw))
+        + MM._png_chunk(b"IEND", b"")
+    )
+    img2 = MM.decode_png(payload2)
+    assert img2.shape == (h, w, 1)
+    assert np.array_equal((img2[..., 0] * 3).round().astype(np.uint8), gray)
 
 
 def test_jpeg_fixture_pinned_and_decodes():
