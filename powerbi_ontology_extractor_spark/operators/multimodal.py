@@ -11,8 +11,9 @@ container):
   → grayscale signal → bucket-mean features.
 - **baseline JPEG images**: pure-numpy huffman + dequant + IDCT in
   ``operators/jpeg.py`` (4:2:0/4:4:4; progressive declared out).
-- **WAV (RIFF/PCM) audio**: chunk walker (fmt/data, 8/16/32-bit PCM,
-  any channel count) → mono float signal → bucket-mean features.
+- **WAV (RIFF) audio**: chunk walker (fmt/data; 8/16/24/32-bit integer
+  PCM and 32/64-bit IEEE float, any channel count) → mono float signal
+  → bucket-mean features.
 - remaining containers (MP4/H.264, progressive JPEG, Adam7 PNG…)
   raise NotImplementedError — they need real codec libraries;
   ``fake=True`` keeps the deterministic hash-based stand-in for
@@ -252,9 +253,10 @@ def decode_png(payload: bytes) -> np.ndarray:
 
 
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
-    """Parse a RIFF/WAVE PCM payload → (mono float samples in [-1,1],
-    sample_rate).  Chunk walker: fmt (PCM only) + data; 8-bit unsigned,
-    16/32-bit signed little-endian; multi-channel averaged to mono."""
+    """Parse a RIFF/WAVE payload → (mono float samples in [-1,1],
+    sample_rate).  Chunk walker: fmt + data; integer PCM (format 1:
+    8-bit unsigned, 16/24/32-bit signed little-endian) and IEEE float
+    (format 3: 32/64-bit); multi-channel averaged to mono."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
     pos = 12
@@ -275,14 +277,29 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     n_channels = int.from_bytes(fmt[2:4], "little")
     sample_rate = int.from_bytes(fmt[4:8], "little")
     bits = int.from_bytes(fmt[14:16], "little")
-    if audio_format != 1:
-        raise NotImplementedError(f"WAV format {audio_format} (non-PCM)")
-    if bits == 8:
+    if audio_format not in (1, 3):
+        raise NotImplementedError(
+            f"WAV format {audio_format} (integer PCM and IEEE float only)"
+        )
+    if audio_format == 3:  # IEEE float
+        if bits == 32:
+            samples = np.frombuffer(data, dtype="<f4").astype(np.float64)
+        elif bits == 64:
+            samples = np.frombuffer(data, dtype="<f8").astype(np.float64)
+        else:
+            raise ValueError(f"{bits}-bit float WAV")
+    elif bits == 8:
         samples = (
             np.frombuffer(data, dtype=np.uint8).astype(np.float64) - 128.0
         ) / 128.0
     elif bits == 16:
         samples = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
+    elif bits == 24:  # 3-byte little-endian, sign-extended
+        b = np.frombuffer(data, dtype=np.uint8)
+        b = b[: (len(b) // 3) * 3].reshape(-1, 3).astype(np.int32)
+        vals = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+        vals -= (vals & 0x800000) << 1
+        samples = vals.astype(np.float64) / float(1 << 23)
     elif bits == 32:
         samples = np.frombuffer(data, dtype="<i4").astype(np.float64) / 2**31
     else:
@@ -297,10 +314,11 @@ def decode_media(payload: bytes, media_type: str, dim: int, fake: bool) -> np.nd
     """Decode one media payload to a ``dim``-float feature vector.
 
     Real decoders: PPM (P6) images, PNG images (gray/RGB/GA/RGBA
-    8/16-bit + palette 1/2/4/8-bit), baseline JPEG images and RIFF/PCM
-    WAV audio, parsed with pure stdlib+numpy (no codec libs needed).  Remaining containers (MP4/H.264, progressive
-    JPEG, …) genuinely require codec libraries absent from this
-    environment and raise NotImplementedError.  ``fake=True`` derives
+    8/16-bit + palette 1/2/4/8-bit), baseline JPEG images and RIFF WAV
+    audio (integer PCM 8/16/24/32-bit + IEEE float), parsed with pure
+    stdlib+numpy (no codec libs needed).  Remaining containers
+    (MP4/H.264, progressive JPEG, …) genuinely require codec libraries
+    absent from this environment and raise NotImplementedError.  ``fake=True`` derives
     the vector from the payload's sha256 stream instead — deterministic
     stand-in for pipeline tests over arbitrary bytes.
     """

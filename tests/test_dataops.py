@@ -507,6 +507,52 @@ def test_wav_8bit_stereo_downmix():
     assert rate == 8000 and samples.shape == (100,)  # stereo → mono
 
 
+def _wav(fmt_code, n_ch, rate, bits, data):
+    fmt = (
+        fmt_code.to_bytes(2, "little") + n_ch.to_bytes(2, "little")
+        + rate.to_bytes(4, "little")
+        + (rate * n_ch * bits // 8).to_bytes(4, "little")
+        + (n_ch * bits // 8).to_bytes(2, "little")
+        + bits.to_bytes(2, "little")
+    )
+    return (
+        b"RIFF" + (4 + 8 + len(fmt) + 8 + len(data)).to_bytes(4, "little")
+        + b"WAVE" + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+        + b"data" + len(data).to_bytes(4, "little") + data
+    )
+
+
+def test_wav_24bit_sign_extension():
+    """24-bit PCM: 3-byte little-endian samples assemble and
+    sign-extend exactly (max positive, min negative, ±1 LSB, zero)."""
+    import numpy as np
+
+    vals = [0, 1, -1, (1 << 23) - 1, -(1 << 23), 0x123456, -0x123456]
+    data = b"".join(
+        (v & 0xFFFFFF).to_bytes(3, "little") for v in vals
+    )
+    samples, rate = MM.decode_wav(_wav(1, 1, 16000, 24, data))
+    assert rate == 16000
+    want = np.array(vals, dtype=np.float64) / float(1 << 23)
+    assert np.allclose(samples, want, atol=0)
+
+
+def test_wav_ieee_float_formats():
+    """Format-3 WAV: 32-bit and 64-bit IEEE float samples pass through
+    exactly; stereo still downmixes; non-PCM/float still declared."""
+    import numpy as np
+    import pytest
+
+    vals = np.array([0.0, 0.5, -0.5, 1.0, -1.0, 0.123456], dtype=np.float32)
+    samples, _ = MM.decode_wav(_wav(3, 1, 8000, 32, vals.tobytes()))
+    assert np.array_equal(samples, vals.astype(np.float64))
+    vals64 = np.array([0.25, -0.75, 0.999, -0.999], dtype=np.float64)
+    samples64, _ = MM.decode_wav(_wav(3, 2, 8000, 64, vals64.tobytes()))
+    assert np.allclose(samples64, vals64.reshape(-1, 2).mean(axis=1), atol=0)
+    with pytest.raises(NotImplementedError):  # e.g. format 6 = A-law
+        MM.decode_wav(_wav(6, 1, 8000, 8, b"\x00" * 8))
+
+
 def test_real_decode_through_spark_pipeline(spark):
     """fake=False end-to-end via mapInPandas on real PPM/WAV/PNG/JPEG
     payloads — the decode step is no longer a stub for these
