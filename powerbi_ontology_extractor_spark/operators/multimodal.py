@@ -11,9 +11,11 @@ container):
   → grayscale signal → bucket-mean features.
 - **baseline JPEG images**: pure-numpy huffman + dequant + IDCT in
   ``operators/jpeg.py`` (4:2:0/4:4:4; progressive declared out).
+- **BMP images**: uncompressed BI_RGB at 8 (palette)/24/32-bit,
+  bottom-up and top-down rasters.
 - **WAV (RIFF) audio**: chunk walker (fmt/data; 8/16/24/32-bit integer
-  PCM and 32/64-bit IEEE float, any channel count) → mono float signal
-  → bucket-mean features.
+  PCM, 32/64-bit IEEE float, G.711 A-law/µ-law, any channel count) →
+  mono float signal → bucket-mean features.
 - remaining containers (MP4/H.264, progressive JPEG, Adam7 PNG…)
   raise NotImplementedError — they need real codec libraries;
   ``fake=True`` keeps the deterministic hash-based stand-in for
@@ -277,11 +279,30 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     n_channels = int.from_bytes(fmt[2:4], "little")
     sample_rate = int.from_bytes(fmt[4:8], "little")
     bits = int.from_bytes(fmt[14:16], "little")
-    if audio_format not in (1, 3):
+    if audio_format not in (1, 3, 6, 7):
         raise NotImplementedError(
-            f"WAV format {audio_format} (integer PCM and IEEE float only)"
+            f"WAV format {audio_format} "
+            "(integer PCM, IEEE float and G.711 A-law/µ-law only)"
         )
-    if audio_format == 3:  # IEEE float
+    if audio_format in (6, 7):  # G.711 companding (8-bit log PCM)
+        b = np.frombuffer(data, dtype=np.uint8).astype(np.int32)
+        if audio_format == 7:  # µ-law (ITU G.711 / Sun reference decode)
+            u = (~b) & 0xFF
+            exp = (u >> 4) & 0x07
+            mant = u & 0x0F
+            mag = (((mant << 3) + 0x84) << exp) - 0x84
+            samples = np.where((u & 0x80) != 0, -mag, mag) / 32768.0
+        else:  # A-law (sign bit 1 = positive after the 0x55 toggle)
+            a = b ^ 0x55
+            exp = (a >> 4) & 0x07
+            mant = a & 0x0F
+            mag = np.where(
+                exp == 0,
+                (mant << 4) + 8,
+                ((mant << 4) + 0x108) << np.maximum(exp - 1, 0),
+            )
+            samples = np.where((a & 0x80) != 0, mag, -mag) / 32768.0
+    elif audio_format == 3:  # IEEE float
         if bits == 32:
             samples = np.frombuffer(data, dtype="<f4").astype(np.float64)
         elif bits == 64:
@@ -310,15 +331,66 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     return samples, sample_rate
 
 
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Parse an uncompressed Windows BMP → float array (h, w, channels)
+    in [0,1], pure numpy.
+
+    Supports BI_RGB (compression 0) at 8-bit (palette lookup from the
+    BGRA color table), 24-bit (BGR) and 32-bit (BGRA) depths, both
+    bottom-up (positive height) and top-down (negative height) rasters,
+    with rows padded to 4-byte boundaries.  RLE/bitfield compressions
+    raise NotImplementedError.
+    """
+    if payload[:2] != b"BM" or len(payload) < 54:
+        raise ValueError("not a BMP payload")
+    px_offset = int.from_bytes(payload[10:14], "little")
+    hdr_size = int.from_bytes(payload[14:18], "little")
+    width = int.from_bytes(payload[18:22], "little", signed=True)
+    height = int.from_bytes(payload[22:26], "little", signed=True)
+    bpp = int.from_bytes(payload[28:30], "little")
+    compression = int.from_bytes(payload[30:34], "little")
+    if compression != 0:
+        raise NotImplementedError(f"BMP compression {compression} (BI_RGB only)")
+    if bpp not in (8, 24, 32):
+        raise NotImplementedError(f"{bpp}-bit BMP (8/24/32 only)")
+    if width <= 0 or height == 0:
+        raise ValueError("malformed BMP dimensions")
+    top_down = height < 0
+    height = abs(height)
+    stride = (width * bpp // 8 + 3) & ~3  # rows pad to 4 bytes
+    raster = np.frombuffer(
+        payload, dtype=np.uint8, count=height * stride, offset=px_offset
+    ).reshape(height, stride)
+    if not top_down:
+        raster = raster[::-1]
+    if bpp == 8:
+        n_colors = int.from_bytes(payload[46:50], "little") or 256
+        table = np.frombuffer(
+            payload, dtype=np.uint8, count=n_colors * 4, offset=14 + hdr_size
+        ).reshape(n_colors, 4)[:, :3][:, ::-1]  # BGRA quads → RGB
+        idx = raster[:, :width]
+        if idx.max(initial=0) >= n_colors:
+            raise ValueError("BMP palette index out of range")
+        return table[idx].astype(np.float64) / 255.0
+    channels = bpp // 8
+    px = raster[:, : width * channels].reshape(height, width, channels)
+    if channels == 3:
+        px = px[:, :, ::-1]  # BGR → RGB
+    else:
+        px = px[:, :, [2, 1, 0, 3]]  # BGRA → RGBA
+    return px.astype(np.float64) / 255.0
+
+
 def decode_media(payload: bytes, media_type: str, dim: int, fake: bool) -> np.ndarray:
     """Decode one media payload to a ``dim``-float feature vector.
 
     Real decoders: PPM (P6) images, PNG images (gray/RGB/GA/RGBA
-    8/16-bit + palette 1/2/4/8-bit), baseline JPEG images and RIFF WAV
-    audio (integer PCM 8/16/24/32-bit + IEEE float), parsed with pure
-    stdlib+numpy (no codec libs needed).  Remaining containers
-    (MP4/H.264, progressive JPEG, …) genuinely require codec libraries
-    absent from this environment and raise NotImplementedError.  ``fake=True`` derives
+    8/16-bit + palette 1/2/4/8-bit), uncompressed BMP images, baseline
+    JPEG images and RIFF WAV audio (integer PCM 8/16/24/32-bit, IEEE
+    float, G.711 A-law/µ-law), parsed with pure stdlib+numpy (no codec
+    libs needed).  Remaining containers (MP4/H.264, progressive JPEG,
+    …) genuinely require codec libraries absent from this environment
+    and raise NotImplementedError.  ``fake=True`` derives
     the vector from the payload's sha256 stream instead — deterministic
     stand-in for pipeline tests over arbitrary bytes.
     """
@@ -344,12 +416,15 @@ def decode_media(payload: bytes, media_type: str, dim: int, fake: bool) -> np.nd
 
         px = decode_baseline_jpeg(payload)
         return _bucket_features(px.mean(axis=2), dim)  # grayscale
+    if payload[:2] == b"BM":
+        px = decode_bmp(payload)
+        return _bucket_features(px[:, :, :3].mean(axis=2), dim)  # grayscale
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         samples, _ = decode_wav(payload)
         return _bucket_features(samples, dim)
     raise NotImplementedError(
         f"no pure-numpy decoder for this {media_type} container; "
-        "PPM (P6), PNG, baseline JPEG and PCM WAV are supported, "
+        "PPM (P6), PNG, BMP, baseline JPEG and WAV are supported, "
         "or pass fake=True"
     )
 

@@ -549,8 +549,100 @@ def test_wav_ieee_float_formats():
     vals64 = np.array([0.25, -0.75, 0.999, -0.999], dtype=np.float64)
     samples64, _ = MM.decode_wav(_wav(3, 2, 8000, 64, vals64.tobytes()))
     assert np.allclose(samples64, vals64.reshape(-1, 2).mean(axis=1), atol=0)
-    with pytest.raises(NotImplementedError):  # e.g. format 6 = A-law
-        MM.decode_wav(_wav(6, 1, 8000, 8, b"\x00" * 8))
+    with pytest.raises(NotImplementedError):  # e.g. format 2 = ADPCM
+        MM.decode_wav(_wav(2, 1, 8000, 4, b"\x00" * 8))
+
+
+def test_wav_g711_companding():
+    """µ-law and A-law expand to the ITU G.711 reference values —
+    extreme magnitudes, zero codes and a mid-chord sample pinned as
+    hand-derived literals."""
+    import numpy as np
+
+    mu = bytes([0x00, 0x80, 0xFF, 0x7F, 0xEF])
+    samples, _ = MM.decode_wav(_wav(7, 1, 8000, 8, mu))
+    want = np.array([-32124, 32124, 0, 0, 132], dtype=np.float64) / 32768.0
+    assert np.allclose(samples, want, atol=0)
+
+    al = bytes([0x55, 0xD5, 0x2A, 0xAA])
+    samples, _ = MM.decode_wav(_wav(6, 1, 8000, 8, al))
+    want = np.array([-8, 8, -32256, 32256], dtype=np.float64) / 32768.0
+    assert np.allclose(samples, want, atol=0)
+
+
+def _bmp(width, height, bpp, pixel_rows, palette=b"", compression=0):
+    """Assemble a BMP: 14-byte file header + 40-byte info header +
+    optional palette + raster rows (caller pads them)."""
+    raster = b"".join(pixel_rows)
+    offset = 14 + 40 + len(palette)
+    info = (
+        (40).to_bytes(4, "little")
+        + width.to_bytes(4, "little", signed=True)
+        + height.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + bpp.to_bytes(2, "little")
+        + compression.to_bytes(4, "little")
+        + len(raster).to_bytes(4, "little")
+        + (2835).to_bytes(4, "little") * 2
+        + (len(palette) // 4).to_bytes(4, "little")
+        + (0).to_bytes(4, "little")
+    )
+    total = offset + len(raster)
+    return (
+        b"BM" + total.to_bytes(4, "little") + b"\x00" * 4
+        + offset.to_bytes(4, "little") + info + palette + raster
+    )
+
+
+def test_bmp_roundtrip_and_gaps():
+    """24-bit bottom-up (padded rows, BGR→RGB), 32-bit BGRA, 8-bit
+    palette top-down (negative height) reconstruct exactly; RLE stays
+    a declared gap."""
+    import numpy as np
+    import pytest
+
+    # 24-bit, 3×2, bottom-up; stride 9 → padded to 12
+    px = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)  # RGB rows
+    rows = [
+        bytes(px[y, :, ::-1].reshape(-1)) + b"\x00" * 3
+        for y in (1, 0)  # bottom-up storage order
+    ]
+    img = MM.decode_bmp(_bmp(3, 2, 24, rows))
+    assert img.shape == (2, 3, 3)
+    assert np.array_equal((img * 255).round().astype(np.uint8), px)
+
+    # 32-bit BGRA, 2×2, bottom-up (no padding at 4-byte pixels)
+    px4 = np.arange(2 * 2 * 4, dtype=np.uint8).reshape(2, 2, 4)  # RGBA
+    rows = [bytes(px4[y][:, [2, 1, 0, 3]].reshape(-1)) for y in (1, 0)]
+    img4 = MM.decode_bmp(_bmp(2, 2, 32, rows))
+    assert img4.shape == (2, 2, 4)
+    assert np.array_equal((img4 * 255).round().astype(np.uint8), px4)
+
+    # 8-bit palette, 5×3, TOP-DOWN (negative height); stride 5 → 8
+    rng = np.random.RandomState(4)
+    table = rng.randint(0, 256, (7, 3), dtype=np.uint8)  # RGB entries
+    palette = b"".join(
+        bytes(row[::-1]) + b"\x00" for row in table  # BGRA quads
+    )
+    idx = rng.randint(0, 7, (3, 5), dtype=np.uint8)
+    rows = [bytes(idx[y]) + b"\x00" * 3 for y in range(3)]  # top-down
+    imgp = MM.decode_bmp(_bmp(5, -3, 8, rows, palette=palette))
+    assert imgp.shape == (3, 5, 3)
+    assert np.array_equal((imgp * 255).round().astype(np.uint8), table[idx])
+
+    feats = MM.decode_media(_bmp(3, 2, 24, [
+        bytes(px[y, :, ::-1].reshape(-1)) + b"\x00" * 3 for y in (1, 0)
+    ]), "image", 4, fake=False)
+    assert feats.shape == (4,)
+
+    with pytest.raises(NotImplementedError, match="compression"):
+        MM.decode_bmp(_bmp(3, 2, 24, rows, compression=1))  # RLE8
+    with pytest.raises(ValueError, match="palette index"):
+        bad_idx = idx.copy()
+        bad_idx[0, 0] = 7  # past the 7-entry table
+        MM.decode_bmp(_bmp(5, -3, 8,
+                           [bytes(bad_idx[y]) + b"\x00" * 3 for y in range(3)],
+                           palette=palette))
 
 
 def test_real_decode_through_spark_pipeline(spark):
