@@ -13,6 +13,8 @@ container):
   ``operators/jpeg.py`` (4:2:0/4:4:4; progressive declared out).
 - **BMP images**: uncompressed BI_RGB at 8 (palette)/24/32-bit,
   bottom-up and top-down rasters.
+- **GIF images**: first frame, GIF-LZW + global/local color tables,
+  interlacing, GCE transparency (``operators/gif.py``).
 - **WAV (RIFF) audio**: chunk walker (fmt/data; 8/16/24/32-bit integer
   PCM, 32/64-bit IEEE float, G.711 A-law/µ-law, any channel count) →
   mono float signal → bucket-mean features.
@@ -385,7 +387,8 @@ def decode_media(payload: bytes, media_type: str, dim: int, fake: bool) -> np.nd
     """Decode one media payload to a ``dim``-float feature vector.
 
     Real decoders: PPM (P6) images, PNG images (gray/RGB/GA/RGBA
-    8/16-bit + palette 1/2/4/8-bit), uncompressed BMP images, baseline
+    8/16-bit + palette 1/2/4/8-bit), uncompressed BMP images, GIF
+    images (first frame, incl. interlaced + transparent), baseline
     JPEG images and RIFF WAV audio (integer PCM 8/16/24/32-bit, IEEE
     float, G.711 A-law/µ-law), parsed with pure stdlib+numpy (no codec
     libs needed).  Remaining containers (MP4/H.264, progressive JPEG,
@@ -419,12 +422,17 @@ def decode_media(payload: bytes, media_type: str, dim: int, fake: bool) -> np.nd
     if payload[:2] == b"BM":
         px = decode_bmp(payload)
         return _bucket_features(px[:, :, :3].mean(axis=2), dim)  # grayscale
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        from powerbi_ontology_extractor_spark.operators.gif import decode_gif
+
+        px = decode_gif(payload)
+        return _bucket_features(px[:, :, :3].mean(axis=2), dim)  # grayscale
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         samples, _ = decode_wav(payload)
         return _bucket_features(samples, dim)
     raise NotImplementedError(
         f"no pure-numpy decoder for this {media_type} container; "
-        "PPM (P6), PNG, BMP, baseline JPEG and WAV are supported, "
+        "PPM (P6), PNG, BMP, GIF, baseline JPEG and WAV are supported, "
         "or pass fake=True"
     )
 

@@ -645,10 +645,71 @@ def test_bmp_roundtrip_and_gaps():
                            palette=palette))
 
 
+def test_gif_roundtrip_variants():
+    """GIF first-frame decode: plain, interlaced (pass-order storage →
+    deinterlaced raster) and GCE-transparent fixtures reconstruct the
+    exact palette-expanded pixels; a growing LZW table crosses code
+    widths on a larger raster."""
+    import numpy as np
+
+    from powerbi_ontology_extractor_spark.operators import gif as G
+
+    for kwargs in (
+        {},
+        {"interlace": True},
+        {"transparent": True},
+        {"width": 83, "height": 61},  # enough codes to widen past 5→8 bits
+        {"width": 83, "height": 61, "interlace": True, "transparent": True},
+    ):
+        payload, palette, idx = G.synth_gif_bytes(**kwargs)
+        img = G.decode_gif(payload)
+        h, w = idx.shape
+        if kwargs.get("transparent"):
+            assert img.shape == (h, w, 4)
+            want = np.concatenate(
+                [
+                    palette[idx],
+                    np.where(idx == 0, 0, 255).astype(np.uint8)[..., None],
+                ],
+                axis=2,
+            )
+        else:
+            assert img.shape == (h, w, 3)
+            want = palette[idx]
+        assert np.array_equal((img * 255).round().astype(np.uint8), want)
+
+    feats = MM.decode_media(
+        G.synth_gif_bytes()[0], "image", 6, fake=False
+    )
+    assert feats.shape == (6,)
+
+
+def test_gif_lzw_kwkwk_and_errors():
+    """The hand-packed code stream [CLEAR, 0, 6, 0, END] at
+    min_code_size=2 hits the KwKwK branch (code 6 == next unassigned
+    entry) and must decode to [0,0,0,0]; truncated streams and
+    out-of-table codes fail loudly."""
+    import pytest
+
+    from powerbi_ontology_extractor_spark.operators import gif as G
+
+    # codes 4,0,6,0,5 at 3 bits, LSB-first → bytes 0x84, 0x51
+    assert G.lzw_decode(bytes([0x84, 0x51]), 2, 4) == [0, 0, 0, 0]
+    with pytest.raises(ValueError, match="ended"):
+        G.lzw_decode(bytes([0x84]), 2, 4)
+    # code 7 with only entry 6 assignable → beyond table
+    # codes 4,0,7 at 3 bits LSB-first: 100 000 111 → 0xC4, 0x01
+    with pytest.raises(ValueError, match="beyond table"):
+        G.lzw_decode(bytes([0xC4, 0x01]), 2, 4)
+
+
 def test_real_decode_through_spark_pipeline(spark):
-    """fake=False end-to-end via mapInPandas on real PPM/WAV/PNG/JPEG
-    payloads — the decode step is no longer a stub for these
+    """fake=False end-to-end via mapInPandas on real PPM/WAV/PNG/JPEG/
+    GIF payloads — the decode step is no longer a stub for these
     containers."""
+    from powerbi_ontology_extractor_spark.operators.gif import (
+        synth_gif_bytes,
+    )
     from powerbi_ontology_extractor_spark.operators.jpeg import (
         synth_jpeg_bytes,
     )
@@ -662,11 +723,13 @@ def test_real_decode_through_spark_pipeline(spark):
          24, 16, None, "synthetic://png/2"),
         (3, "image", synth_jpeg_bytes(), "image/jpeg",
          40, 24, None, "synthetic://jpeg/3"),
+        (4, "image", synth_gif_bytes()[0], "image/gif",
+         19, 13, None, "synthetic://gif/4"),
     ]
     media = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
     out = {r["media_id"]: r for r in
            MM.extract_features(media, dim=8, fake=False).collect()}
-    assert all(len(out[i]["features"]) == 8 for i in range(4))
+    assert all(len(out[i]["features"]) == 8 for i in range(5))
     # image bucket means live in [0,1]; audio in [-1,1]
     assert all(0.0 <= x <= 1.0 for x in out[0]["features"])
     assert all(-1.0 <= x <= 1.0 for x in out[1]["features"])
