@@ -7,8 +7,8 @@ container):
   maxval ≤ 65535) → grayscale signal → bucket-mean features.
 - **PNG images**: chunk walker + zlib inflate + all five scanline
   un-filters (gray 1/2/4/8/16-bit, RGB/gray-alpha/RGBA 8/16-bit,
-  palette 1/2/4/8-bit with PLTE + optional tRNS alpha; non-interlaced)
-  → grayscale signal → bucket-mean features.
+  palette 1/2/4/8-bit with PLTE + optional tRNS alpha; both interlace
+  methods incl. Adam7) → grayscale signal → bucket-mean features.
 - **baseline JPEG images**: pure-numpy huffman + dequant + IDCT in
   ``operators/jpeg.py`` (4:2:0/4:4:4; progressive declared out).
 - **BMP images**: uncompressed BI_RGB at 8 (palette)/24/32-bit,
@@ -18,7 +18,7 @@ container):
 - **WAV (RIFF) audio**: chunk walker (fmt/data; 8/16/24/32-bit integer
   PCM, 32/64-bit IEEE float, G.711 A-law/µ-law, any channel count) →
   mono float signal → bucket-mean features.
-- remaining containers (MP4/H.264, progressive JPEG, Adam7 PNG…)
+- remaining containers (MP4/H.264, progressive JPEG, …)
   raise NotImplementedError — they need real codec libraries;
   ``fake=True`` keeps the deterministic hash-based stand-in for
   pipeline tests over arbitrary bytes.
@@ -128,19 +128,91 @@ _PNG_DEPTHS = {0: {1, 2, 4, 8, 16}, 2: {8, 16}, 3: {1, 2, 4, 8},
                4: {8, 16}, 6: {8, 16}}
 
 
+# Adam7 pass grid: (x start, x step, y start, y step) per pass
+_ADAM7_PASSES = (
+    (0, 8, 0, 8), (4, 8, 0, 8), (0, 4, 4, 8), (2, 4, 0, 4),
+    (0, 2, 2, 4), (1, 2, 0, 2), (0, 1, 1, 2),
+)
+
+
+def _png_unfilter(
+    raw: bytes, height: int, stride: int, bpp: int, offset: int = 0
+) -> tuple[np.ndarray, int]:
+    """Un-filter ``height`` scanlines of ``stride`` bytes starting at
+    ``offset`` in the inflated stream → ((h, stride) uint8 array, end
+    offset).  Filters operate on bytes at distance ``bpp``."""
+    if offset + height * (stride + 1) > len(raw):
+        raise ValueError("PNG raster size mismatch")
+    out = np.zeros((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(height):
+        base = offset + y * (stride + 1)
+        fbyte = raw[base]
+        row = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=base + 1
+        ).astype(np.int32)
+        if fbyte == 0:  # None
+            recon = row
+        elif fbyte == 1:  # Sub: per-byte-lane cumulative sum
+            recon = row.copy()
+            for c in range(bpp):
+                recon[c::bpp] = np.cumsum(recon[c::bpp]) & 0xFF
+        elif fbyte == 2:  # Up
+            recon = (row + prev) & 0xFF
+        elif fbyte == 3:  # Average
+            recon = row.copy()
+            for i in range(stride):
+                a = recon[i - bpp] if i >= bpp else 0
+                recon[i] = (recon[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif fbyte == 4:  # Paeth
+            recon = row.copy()
+            for i in range(stride):
+                a = int(recon[i - bpp]) if i >= bpp else 0
+                b = int(prev[i])
+                c = int(prev[i - bpp]) if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                recon[i] = (recon[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter {fbyte}")
+        out[y] = recon
+        prev = recon.astype(np.int32)
+    return out, offset + height * (stride + 1)
+
+
+def _png_samples(
+    out: np.ndarray, width: int, channels: int, bit_depth: int
+) -> np.ndarray:
+    """(h, stride) un-filtered bytes → (h, width, channels) integer
+    samples (uint16 for 16-bit, uint8 otherwise; sub-byte depths are
+    single-channel by spec)."""
+    height = out.shape[0]
+    if bit_depth == 16:  # big-endian sample pairs
+        vals = (out[:, 0::2].astype(np.uint16) << 8) | out[:, 1::2]
+        return vals.reshape(height, width, channels)
+    if bit_depth < 8:  # sub-byte samples, MSB-first
+        bits = np.unpackbits(out, axis=1)
+        weights = 1 << np.arange(bit_depth - 1, -1, -1)
+        samples = (bits.reshape(height, -1, bit_depth) @ weights)[:, :width]
+        return samples.reshape(height, width, 1).astype(np.uint8)
+    return out.reshape(height, width, channels)
+
+
 def decode_png(payload: bytes) -> np.ndarray:
-    """Parse a non-interlaced PNG → float array (h, w, channels) in
-    [0,1], pure stdlib-zlib + numpy (no codec libs).
+    """Parse a PNG → float array (h, w, channels) in [0,1], pure
+    stdlib-zlib + numpy (no codec libs).
 
     Supports color types 0 (gray, 1/2/4/8/16-bit), 2 (RGB, 8/16-bit),
     3 (palette, 1/2/4/8-bit — PLTE lookup, optional tRNS alpha),
-    4 (gray+alpha, 8/16-bit), 6 (RGBA, 8/16-bit) and all five scanline
-    filters (None/Sub/Up/Average/Paeth, the full filter method 0 of the
-    PNG spec — filters operate on BYTES at distance bpp, so one
-    un-filter loop covers every depth).  Sub un-filtering is a
-    per-byte-lane cumulative sum (vectorized); Average/Paeth walk the
-    scanline (their recurrence is inherently sequential).  Adam7
-    interlacing raises NotImplementedError explicitly.
+    4 (gray+alpha, 8/16-bit), 6 (RGBA, 8/16-bit), all five scanline
+    filters (None/Sub/Up/Average/Paeth, the full filter method 0 of
+    the PNG spec — filters operate on BYTES at distance bpp, so one
+    un-filter loop covers every depth) and BOTH interlace methods
+    (Adam7 passes un-filter as independent sub-images and scatter into
+    the full raster).  Sub un-filtering is a per-byte-lane cumulative
+    sum (vectorized); Average/Paeth walk the scanline (their
+    recurrence is inherently sequential).
     """
     if payload[: len(_PNG_SIG)] != _PNG_SIG:
         raise ValueError("not a PNG payload")
@@ -175,70 +247,42 @@ def decode_png(payload: bytes) -> np.ndarray:
         raise ValueError(
             f"illegal bit depth {bit_depth} for color type {color_type}"
         )
-    if interlace != 0:
-        raise NotImplementedError("Adam7-interlaced PNG")
     if color_type == 3 and (plte is None or len(plte) % 3 != 0):
         raise ValueError("palette PNG missing or malformed PLTE chunk")
     channels = _PNG_CHANNELS[color_type]
     bits_pp = channels * bit_depth
-    stride = (width * bits_pp + 7) // 8
     bpp = max(1, bits_pp // 8)  # filter distance in BYTES (spec: ≥1)
     import zlib
 
     raw = zlib.decompress(bytes(idat))
-    if len(raw) != height * (stride + 1):
-        raise ValueError("PNG raster size mismatch")
-    out = np.zeros((height, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.int32)
-    for y in range(height):
-        fbyte = raw[y * (stride + 1)]
-        row = np.frombuffer(
-            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
-        ).astype(np.int32)
-        if fbyte == 0:  # None
-            recon = row
-        elif fbyte == 1:  # Sub: per-byte-lane cumulative sum
-            recon = row.copy()
-            for c in range(bpp):
-                recon[c::bpp] = np.cumsum(recon[c::bpp]) & 0xFF
-        elif fbyte == 2:  # Up
-            recon = (row + prev) & 0xFF
-        elif fbyte == 3:  # Average
-            recon = row.copy()
-            for i in range(stride):
-                a = recon[i - bpp] if i >= bpp else 0
-                recon[i] = (recon[i] + ((a + prev[i]) >> 1)) & 0xFF
-        elif fbyte == 4:  # Paeth
-            recon = row.copy()
-            for i in range(stride):
-                a = int(recon[i - bpp]) if i >= bpp else 0
-                b = int(prev[i])
-                c = int(prev[i - bpp]) if i >= bpp else 0
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
-                recon[i] = (recon[i] + pred) & 0xFF
-        else:
-            raise ValueError(f"unknown PNG filter {fbyte}")
-        out[y] = recon
-        prev = recon.astype(np.int32)
-
-    if bit_depth == 16:  # big-endian sample pairs
-        vals = (out[:, 0::2].astype(np.uint16) << 8) | out[:, 1::2]
-        return (
-            vals.reshape(height, width, channels).astype(np.float64) / 65535.0
-        )
-    if bit_depth < 8:  # sub-byte samples, MSB-first (gray or palette)
-        bits = np.unpackbits(out, axis=1)
-        weights = 1 << np.arange(bit_depth - 1, -1, -1)
-        samples = (
-            bits.reshape(height, -1, bit_depth) @ weights
-        )[:, :width]  # drop padding bits at row end
+    if interlace == 0:
+        stride = (width * bits_pp + 7) // 8
+        if len(raw) != height * (stride + 1):
+            raise ValueError("PNG raster size mismatch")
+        out, _ = _png_unfilter(raw, height, stride, bpp)
+        samples = _png_samples(out, width, channels, bit_depth)
+    elif interlace == 1:  # Adam7: each pass is an independent image
+        dtype = np.uint16 if bit_depth == 16 else np.uint8
+        samples = np.zeros((height, width, channels), dtype=dtype)
+        offset = 0
+        for x0, dx, y0, dy in _ADAM7_PASSES:
+            pw = max(0, (width - x0 + dx - 1) // dx)
+            ph = max(0, (height - y0 + dy - 1) // dy)
+            if pw == 0 or ph == 0:  # empty pass carries no bytes
+                continue
+            pstride = (pw * bits_pp + 7) // 8
+            out, offset = _png_unfilter(raw, ph, pstride, bpp, offset)
+            samples[y0::dy, x0::dx] = _png_samples(
+                out, pw, channels, bit_depth
+            )
+        if offset != len(raw):
+            raise ValueError("PNG raster size mismatch")
     else:
-        samples = out
+        raise ValueError(f"unknown PNG interlace method {interlace}")
+
     if color_type == 3:
         table = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
-        idx = samples.reshape(height, width)
+        idx = samples[:, :, 0]
         if idx.max(initial=0) >= len(table):
             raise ValueError("PNG palette index out of range")
         rgb = table[idx]
@@ -249,11 +293,8 @@ def decode_png(payload: bytes) -> np.ndarray:
         alpha[: len(given)] = given
         rgba = np.concatenate([rgb, alpha[idx][..., None]], axis=2)
         return rgba.astype(np.float64) / 255.0
-    if bit_depth < 8:  # gray 1/2/4-bit
-        return samples.reshape(height, width, 1).astype(np.float64) / float(
-            (1 << bit_depth) - 1
-        )
-    return out.reshape(height, width, channels).astype(np.float64) / 255.0
+    max_val = 65535.0 if bit_depth == 16 else float((1 << bit_depth) - 1)
+    return samples.astype(np.float64) / max_val
 
 
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
@@ -609,6 +650,42 @@ def synth_png_palette_bytes(
     chunks += _png_chunk(b"IDAT", zlib.compress(raw, 9))
     chunks += _png_chunk(b"IEND", b"")
     return chunks, palette, idx
+
+
+def synth_png_adam7_bytes(
+    width: int = 13, height: int = 10, seed: int = 6
+) -> tuple[bytes, np.ndarray]:
+    """Deterministic Adam7-interlaced 8-bit RGB PNG fixture: every
+    pass is filtered as an independent sub-image (filter state resets
+    per pass, cycling all five filters).  Returns (payload, the exact
+    (h,w,3) uint8 raster)."""
+    import zlib
+
+    rng = np.random.RandomState(seed)
+    img = (
+        np.fromfunction(
+            lambda y, x, c: (x * 13 + y * 17 + c * 7) % 256, (height, width, 3)
+        ).astype(np.uint8)
+        ^ rng.randint(0, 256, (height, width, 3), dtype=np.uint8)
+    )
+    raw = b""
+    for x0, dx, y0, dy in _ADAM7_PASSES:
+        sub = img[y0::dy, x0::dx]
+        if sub.size == 0:
+            continue
+        raw += _png_filter_rows(sub.reshape(sub.shape[0], -1), bpp=3)
+    ihdr = (
+        width.to_bytes(4, "big")
+        + height.to_bytes(4, "big")
+        + bytes([8, 2, 0, 0, 1])  # 8-bit RGB, Adam7
+    )
+    payload = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw, 9))
+        + _png_chunk(b"IEND", b"")
+    )
+    return payload, img
 
 
 def synth_png16_bytes(

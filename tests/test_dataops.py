@@ -313,14 +313,31 @@ def test_png_rgba_and_declared_gaps():
     )
     with pytest.raises(ValueError, match="size mismatch"):
         MM.decode_png(bad16)
-    # the remaining declared gap: Adam7 interlacing
-    ihdr_i = w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([8, 6, 0, 0, 1])
+    # unknown interlace method (0 and 1 are the only spec values)
+    ihdr_i = w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([8, 6, 0, 0, 2])
     inter = (
         MM._PNG_SIG + chunk(b"IHDR", ihdr_i)
         + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
     )
-    with pytest.raises(NotImplementedError, match="Adam7"):
+    with pytest.raises(ValueError, match="interlace"):
         MM.decode_png(inter)
+
+
+def test_png_adam7_roundtrip():
+    """Adam7-interlaced PNGs reconstruct exactly: per-pass independent
+    un-filtering, scatter into the full raster, empty passes carrying
+    zero bytes (1×1 and 3×3 leave most passes empty)."""
+    import numpy as np
+
+    for w, h in ((13, 10), (1, 1), (3, 3), (8, 9), (16, 2)):
+        payload, img = MM.synth_png_adam7_bytes(width=w, height=h)
+        got = MM.decode_png(payload)
+        assert got.shape == (h, w, 3)
+        assert np.array_equal((got * 255).round().astype(np.uint8), img)
+    feats = MM.decode_media(
+        MM.synth_png_adam7_bytes()[0], "image", 5, fake=False
+    )
+    assert feats.shape == (5,)
 
 
 def test_png_palette_roundtrip():
