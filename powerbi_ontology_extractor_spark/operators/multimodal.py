@@ -15,6 +15,8 @@ container):
   bottom-up and top-down rasters.
 - **GIF images**: first frame, GIF-LZW + global/local color tables,
   interlacing, GCE transparency (``operators/gif.py``).
+- **TIFF images**: baseline uncompressed, first IFD, II/MM byte
+  orders, gray (both polarities)/RGB(A)/palette, multi-strip.
 - **WAV (RIFF) audio**: chunk walker (fmt/data; 8/16/24/32-bit integer
   PCM, 32/64-bit IEEE float, G.711 A-law/µ-law, any channel count) →
   mono float signal → bucket-mean features.
@@ -424,13 +426,170 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     return px.astype(np.float64) / 255.0
 
 
+_TIFF_TYPE_SIZE = {1: 1, 3: 2, 4: 4}  # BYTE / SHORT / LONG
+
+
+def decode_tiff(payload: bytes) -> np.ndarray:
+    """Parse a baseline uncompressed TIFF (first IFD) → float array
+    (h, w, channels) in [0,1], pure numpy.
+
+    Supports both byte orders (II/MM), 8-bit samples, photometric 0/1
+    grayscale (WhiteIsZero inverts), 2 RGB(A) and 3 palette (16-bit
+    ColorMap scaled down), and multi-strip rasters.  Compressed TIFFs
+    and non-8-bit samples raise NotImplementedError.
+    """
+    if payload[:4] == b"II*\x00":
+        bo = "little"
+    elif payload[:4] == b"MM\x00*":
+        bo = "big"
+    else:
+        raise ValueError("not a TIFF payload")
+
+    def u(off: int, n: int) -> int:
+        return int.from_bytes(payload[off : off + n], bo)
+
+    ifd = u(4, 4)
+    n_entries = u(ifd, 2)
+    tags: dict[int, list[int]] = {}
+    for i in range(n_entries):
+        e = ifd + 2 + i * 12
+        tag, typ, cnt = u(e, 2), u(e + 2, 2), u(e + 4, 4)
+        size = _TIFF_TYPE_SIZE.get(typ)
+        if size is None:  # rationals etc. — not needed for the raster
+            continue
+        voff = e + 8 if size * cnt <= 4 else u(e + 8, 4)
+        tags[tag] = [u(voff + j * size, size) for j in range(cnt)]
+    if 256 not in tags or 257 not in tags or 273 not in tags:
+        raise ValueError("TIFF missing width/length/strip-offset tags")
+    width, height = tags[256][0], tags[257][0]
+    compression = tags.get(259, [1])[0]
+    if compression != 1:
+        raise NotImplementedError(
+            f"TIFF compression {compression} (uncompressed only)"
+        )
+    photometric = tags.get(262, [1])[0]
+    spp = tags.get(277, [1])[0]
+    bits = tags.get(258, [8] * spp)
+    if any(b != 8 for b in bits):
+        raise NotImplementedError(f"{bits}-bit TIFF (8-bit samples only)")
+    offsets = tags[273]
+    counts = tags.get(279, [width * height * spp])
+    raster = b"".join(
+        payload[o : o + c] for o, c in zip(offsets, counts)
+    )
+    if len(raster) < width * height * spp:
+        raise ValueError("TIFF raster size mismatch")
+    px = np.frombuffer(
+        raster, dtype=np.uint8, count=width * height * spp
+    ).reshape(height, width, spp)
+    if photometric == 3:
+        cmap = tags.get(320)
+        if not cmap:
+            raise ValueError("palette TIFF missing ColorMap")
+        n_colors = len(cmap) // 3
+        table = (  # ColorMap is 16-bit, reds then greens then blues
+            np.array(cmap, dtype=np.uint32).reshape(3, n_colors).T // 257
+        ).astype(np.uint8)
+        idx = px[:, :, 0]
+        if idx.max(initial=0) >= n_colors:
+            raise ValueError("TIFF palette index out of range")
+        return table[idx].astype(np.float64) / 255.0
+    out = px.astype(np.float64) / 255.0
+    if photometric == 0:  # WhiteIsZero: invert the gray channel
+        out[:, :, 0] = 1.0 - out[:, :, 0]
+    return out
+
+
+def synth_tiff_bytes(
+    width: int = 14,
+    height: int = 9,
+    mode: str = "rgb",
+    byte_order: str = "II",
+    rows_per_strip: int = 4,
+    seed: int = 8,
+) -> tuple[bytes, np.ndarray]:
+    """Deterministic baseline TIFF fixture — mode ∈ {'gray', 'gray0',
+    'rgb', 'palette'} ('gray0' is WhiteIsZero), either byte order,
+    multi-strip layout.  Returns (payload, the exact (h,w,c) uint8
+    raster decode_tiff should reproduce — already palette-expanded /
+    polarity-corrected)."""
+    bo = "little" if byte_order == "II" else "big"
+    rng = np.random.RandomState(seed)
+    spp = 3 if mode == "rgb" else 1
+    raw = rng.randint(0, 256, (height, width, spp), dtype=np.uint8)
+    photometric = {"gray0": 0, "gray": 1, "rgb": 2, "palette": 3}[mode]
+    table = None
+    if mode == "palette":
+        raw %= 11
+        table = rng.randint(0, 256, (11, 3), dtype=np.uint8)
+
+    strips = [
+        raw[y : y + rows_per_strip].tobytes()
+        for y in range(0, height, rows_per_strip)
+    ]
+    body = bytearray(
+        (b"II*\x00" if bo == "little" else b"MM\x00*") + b"\x00" * 4
+    )
+    strip_offsets = []
+    for s in strips:
+        strip_offsets.append(len(body))
+        body += s
+
+    extras: list[tuple[int, int, list[int]]] = []  # (tag, type, values)
+    entries: list[tuple[int, int, list[int]]] = [
+        (256, 3, [width]),
+        (257, 3, [height]),
+        (258, 3, [8] * spp),
+        (259, 3, [1]),
+        (262, 3, [photometric]),
+        (273, 4, strip_offsets),
+        (277, 3, [spp]),
+        (278, 3, [rows_per_strip]),
+        (279, 4, [len(s) for s in strips]),
+    ]
+    if table is not None:  # 16-bit ColorMap: reds, greens, blues
+        cmap = [int(v) * 257 for v in table.T.reshape(-1)]
+        entries.append((320, 3, cmap))
+    entries.sort()
+    # external value area for entries wider than the 4-byte field
+    value_offsets: dict[int, int] = {}
+    for tag, typ, values in entries:
+        size = _TIFF_TYPE_SIZE[typ]
+        if size * len(values) > 4:
+            value_offsets[tag] = len(body)
+            for v in values:
+                body += v.to_bytes(size, bo)
+    ifd_offset = len(body)
+    body[4:8] = ifd_offset.to_bytes(4, bo)
+    body += len(entries).to_bytes(2, bo)
+    for tag, typ, values in entries:
+        size = _TIFF_TYPE_SIZE[typ]
+        body += tag.to_bytes(2, bo) + typ.to_bytes(2, bo)
+        body += len(values).to_bytes(4, bo)
+        if tag in value_offsets:
+            body += value_offsets[tag].to_bytes(4, bo)
+        else:  # inline, left-justified in the 4-byte field
+            field = b"".join(v.to_bytes(size, bo) for v in values)
+            body += field + b"\x00" * (4 - len(field))
+    body += (0).to_bytes(4, bo)  # no next IFD
+
+    if mode == "palette":
+        want = table[raw[:, :, 0]]
+    elif mode == "gray0":
+        want = 255 - raw
+    else:
+        want = raw
+    return bytes(body), want
+
+
 def decode_media(payload: bytes, media_type: str, dim: int, fake: bool) -> np.ndarray:
     """Decode one media payload to a ``dim``-float feature vector.
 
     Real decoders: PPM (P6) images, PNG images (gray/RGB/GA/RGBA
-    8/16-bit + palette 1/2/4/8-bit), uncompressed BMP images, GIF
-    images (first frame, incl. interlaced + transparent), baseline
-    JPEG images and RIFF WAV audio (integer PCM 8/16/24/32-bit, IEEE
+    8/16-bit + palette 1/2/4/8-bit, Adam7), uncompressed BMP images,
+    GIF images (first frame, incl. interlaced + transparent),
+    uncompressed baseline TIFF images, baseline JPEG images and RIFF
+    WAV audio (integer PCM 8/16/24/32-bit, IEEE
     float, G.711 A-law/µ-law), parsed with pure stdlib+numpy (no codec
     libs needed).  Remaining containers (MP4/H.264, progressive JPEG,
     …) genuinely require codec libraries absent from this environment
@@ -468,13 +627,16 @@ def decode_media(payload: bytes, media_type: str, dim: int, fake: bool) -> np.nd
 
         px = decode_gif(payload)
         return _bucket_features(px[:, :, :3].mean(axis=2), dim)  # grayscale
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        px = decode_tiff(payload)
+        return _bucket_features(px[:, :, :3].mean(axis=2), dim)  # grayscale
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         samples, _ = decode_wav(payload)
         return _bucket_features(samples, dim)
     raise NotImplementedError(
         f"no pure-numpy decoder for this {media_type} container; "
-        "PPM (P6), PNG, BMP, GIF, baseline JPEG and WAV are supported, "
-        "or pass fake=True"
+        "PPM (P6), PNG, BMP, GIF, TIFF, baseline JPEG and WAV are "
+        "supported, or pass fake=True"
     )
 
 

@@ -662,6 +662,45 @@ def test_bmp_roundtrip_and_gaps():
                            palette=palette))
 
 
+def test_tiff_roundtrip_variants():
+    """Baseline TIFF: gray (both photometric polarities), RGB and
+    16-bit-ColorMap palette rasters reconstruct exactly across byte
+    orders and multi-strip layouts; compression stays declared."""
+    import numpy as np
+    import pytest
+
+    for mode in ("gray", "gray0", "rgb", "palette"):
+        for byte_order in ("II", "MM"):
+            payload, want = MM.synth_tiff_bytes(
+                mode=mode, byte_order=byte_order
+            )
+            img = MM.decode_tiff(payload)
+            assert img.shape == want.shape
+            assert np.array_equal(
+                (img * 255).round().astype(np.uint8), want
+            )
+    # single-strip layout (rows_per_strip ≥ height → inline offsets)
+    payload, want = MM.synth_tiff_bytes(mode="rgb", rows_per_strip=64)
+    img = MM.decode_tiff(payload)
+    assert np.array_equal((img * 255).round().astype(np.uint8), want)
+
+    feats = MM.decode_media(payload, "image", 4, fake=False)
+    assert feats.shape == (4,)
+
+    # LZW-compressed TIFF stays a declared gap
+    comp = bytearray(MM.synth_tiff_bytes(mode="gray")[0])
+    # patch tag 259's inline value (scan the IFD for it)
+    bo = "little"
+    ifd = int.from_bytes(comp[4:8], bo)
+    n = int.from_bytes(comp[ifd : ifd + 2], bo)
+    for i in range(n):
+        e = ifd + 2 + i * 12
+        if int.from_bytes(comp[e : e + 2], bo) == 259:
+            comp[e + 8 : e + 10] = (5).to_bytes(2, bo)  # LZW
+    with pytest.raises(NotImplementedError, match="compression"):
+        MM.decode_tiff(bytes(comp))
+
+
 def test_gif_roundtrip_variants():
     """GIF first-frame decode: plain, interlaced (pass-order storage →
     deinterlaced raster) and GCE-transparent fixtures reconstruct the
