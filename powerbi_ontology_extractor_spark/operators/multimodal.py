@@ -376,15 +376,54 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     return samples, sample_rate
 
 
+def _bmp_rle8(data: bytes, width: int, height: int) -> np.ndarray:
+    """Expand a BI_RLE8 stream into a (height, width) index raster in
+    STORAGE row order (caller flips bottom-up).  Escapes: 00 00 = end
+    of line, 00 01 = end of bitmap, 00 02 dx dy = delta (skipped cells
+    stay index 0 per convention), 00 n = n absolute indices (padded to
+    a word); n c = run of n cells of index c."""
+    out = np.zeros((height, width), dtype=np.uint8)
+    x = y = pos = 0
+    while pos + 1 < len(data):
+        n, v = data[pos], data[pos + 1]
+        pos += 2
+        if n > 0:  # encoded run
+            end = min(x + n, width)
+            out[y, x:end] = v
+            x = end
+            continue
+        if v == 0:  # end of line
+            x, y = 0, y + 1
+            if y >= height:
+                break
+        elif v == 1:  # end of bitmap
+            break
+        elif v == 2:  # delta
+            x = min(x + data[pos], width)
+            y += data[pos + 1]
+            pos += 2
+            if y >= height:
+                break
+        else:  # absolute mode: v literal indices, word-aligned
+            end = min(x + v, width)
+            out[y, x:end] = np.frombuffer(
+                data, dtype=np.uint8, count=end - x, offset=pos
+            )
+            x = end
+            pos += v + (v & 1)
+    return out
+
+
 def decode_bmp(payload: bytes) -> np.ndarray:
     """Parse an uncompressed Windows BMP → float array (h, w, channels)
     in [0,1], pure numpy.
 
     Supports BI_RGB (compression 0) at 8-bit (palette lookup from the
-    BGRA color table), 24-bit (BGR) and 32-bit (BGRA) depths, both
-    bottom-up (positive height) and top-down (negative height) rasters,
-    with rows padded to 4-byte boundaries.  RLE/bitfield compressions
-    raise NotImplementedError.
+    BGRA color table), 24-bit (BGR) and 32-bit (BGRA) depths, plus
+    BI_RLE8 (compression 1) run-length 8-bit rasters, both bottom-up
+    (positive height) and top-down (negative height), with BI_RGB rows
+    padded to 4-byte boundaries.  RLE4/bitfield compressions raise
+    NotImplementedError.
     """
     if payload[:2] != b"BM" or len(payload) < 54:
         raise ValueError("not a BMP payload")
@@ -394,18 +433,25 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     height = int.from_bytes(payload[22:26], "little", signed=True)
     bpp = int.from_bytes(payload[28:30], "little")
     compression = int.from_bytes(payload[30:34], "little")
-    if compression != 0:
-        raise NotImplementedError(f"BMP compression {compression} (BI_RGB only)")
+    if compression not in (0, 1):
+        raise NotImplementedError(
+            f"BMP compression {compression} (BI_RGB/BI_RLE8 only)"
+        )
+    if compression == 1 and bpp != 8:
+        raise ValueError("BI_RLE8 requires an 8-bit BMP")
     if bpp not in (8, 24, 32):
         raise NotImplementedError(f"{bpp}-bit BMP (8/24/32 only)")
     if width <= 0 or height == 0:
         raise ValueError("malformed BMP dimensions")
     top_down = height < 0
     height = abs(height)
-    stride = (width * bpp // 8 + 3) & ~3  # rows pad to 4 bytes
-    raster = np.frombuffer(
-        payload, dtype=np.uint8, count=height * stride, offset=px_offset
-    ).reshape(height, stride)
+    if compression == 1:
+        raster = _bmp_rle8(payload[px_offset:], width, height)
+    else:
+        stride = (width * bpp // 8 + 3) & ~3  # rows pad to 4 bytes
+        raster = np.frombuffer(
+            payload, dtype=np.uint8, count=height * stride, offset=px_offset
+        ).reshape(height, stride)
     if not top_down:
         raster = raster[::-1]
     if bpp == 8:

@@ -653,13 +653,47 @@ def test_bmp_roundtrip_and_gaps():
     assert feats.shape == (4,)
 
     with pytest.raises(NotImplementedError, match="compression"):
-        MM.decode_bmp(_bmp(3, 2, 24, rows, compression=1))  # RLE8
+        MM.decode_bmp(_bmp(3, 2, 24, rows, compression=2))  # RLE4
+    with pytest.raises(ValueError, match="8-bit"):
+        MM.decode_bmp(_bmp(3, 2, 24, rows, compression=1))  # RLE8 ≠ 24bpp
     with pytest.raises(ValueError, match="palette index"):
         bad_idx = idx.copy()
         bad_idx[0, 0] = 7  # past the 7-entry table
         MM.decode_bmp(_bmp(5, -3, 8,
                            [bytes(bad_idx[y]) + b"\x00" * 3 for y in range(3)],
                            palette=palette))
+
+
+def test_bmp_rle8_roundtrip():
+    """BI_RLE8 expansion: encoded runs, absolute mode (word-aligned),
+    end-of-line, delta skips (cells stay 0) and end-of-bitmap all
+    reconstruct the expected index raster, bottom-up."""
+    import numpy as np
+
+    table = np.arange(30, dtype=np.uint8).reshape(10, 3)
+    palette = b"".join(bytes(row[::-1]) + b"\x00" for row in table)
+    # storage rows (bottom-up): logical raster is 6 wide × 3 tall
+    stream = (
+        # storage row 0 (logical bottom): run 4×idx7, abs [1,2,3] pad, EOL
+        b"\x04\x07" + b"\x00\x03\x01\x02\x03\x00" + b"\x00\x00"
+        # storage row 1: delta (+2,0) leaves zeros, run 3×idx9, EOL
+        + b"\x00\x02\x02\x00" + b"\x03\x09" + b"\x00\x00"
+        # storage row 2: run 6×idx5, end of bitmap
+        + b"\x06\x05" + b"\x00\x01"
+    )
+    want_storage = np.array(
+        [
+            [7, 7, 7, 7, 1, 2],  # run 4 + abs 3 = 7 cells clamp to width 6
+            [0, 0, 9, 9, 9, 0],
+            [5, 5, 5, 5, 5, 5],
+        ],
+        dtype=np.uint8,
+    )
+    img = MM.decode_bmp(_bmp(6, 3, 8, [stream], palette=palette,
+                             compression=1))
+    want = table[want_storage[::-1]]  # bottom-up flip, palette expand
+    assert img.shape == (3, 6, 3)
+    assert np.array_equal((img * 255).round().astype(np.uint8), want)
 
 
 def test_tiff_roundtrip_variants():
