@@ -66,23 +66,25 @@ def exact_dedup(
     )
 
 
+def word_ngrams(c: F.Column, n: int = 3) -> F.Column:
+    """Distinct word-n-gram array of a text column, fully JVM-side:
+    tokenize → sliding n-grams via transform over an index sequence →
+    array_distinct.  The gram unit shared by ngram_jaccard and the
+    MinHash verify stage (which precomputes it once per document)."""
+    toks = F.split(F.trim(F.lower(c)), r"\s+")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    )
+
+
 def ngram_jaccard(
     a: F.Column, b: F.Column, n: int = 3
 ) -> F.Column:
     """Exact word-n-gram Jaccard between two text columns, fully
     JVM-side: tokenize → sliding n-grams via transform over an index
     sequence → array_intersect/union."""
-
-    def grams(c: F.Column) -> F.Column:
-        toks = F.split(F.trim(F.lower(c)), r"\s+")
-        idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
-        return F.array_distinct(
-            F.transform(
-                idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
-            )
-        )
-
-    ga, gb = grams(a), grams(b)
+    ga, gb = word_ngrams(a, n), word_ngrams(b, n)
     inter = F.size(F.array_intersect(ga, gb))
     union = F.size(F.array_union(ga, gb))
     return F.when(union == 0, F.lit(1.0)).otherwise(inter / union)
@@ -102,19 +104,38 @@ def minhash_near_duplicates(
     d = docs.select(
         F.col(id_col).cast("string").alias("id"), F.col(text_col).alias("text")
     )
+    # parallelism floor (guide §2/§6): a one-file input caps every
+    # narrow stage (signature UDF, band explode, partial collects,
+    # per-pair verify) at the scan's 1-2 partitions — measured 17 s of
+    # the 20 s sf1.0 wall serialized on ≤2 cores.  Only repartition when
+    # the scan is BELOW core count: at real scale the input has
+    # thousands of splits and must not be collapsed or re-shuffled.
+    sc = docs.sparkSession.sparkContext
+    if d.rdd.getNumPartitions() < sc.defaultParallelism:
+        d = d.repartition(sc.defaultParallelism)
     # word shingles: char shingles over a shared vocabulary collapse the
     # whole corpus into a handful of LSH buckets (quadratic pair blowup)
     cands = lsh_candidate_pairs(
         d, "id", "text", num_hashes=num_hashes, bands=bands,
         unit="word", shingle_k=ngram_n,
     )
-    t1 = d.select(F.col("id").alias("id1"), F.col("text").alias("text1"))
-    t2 = d.select(F.col("id").alias("id2"), F.col("text").alias("text2"))
+    # grams once per DOCUMENT (parallel, ~1 eval/doc), not once per
+    # CANDIDATE SIDE inside the join condition (~4 interpreted
+    # higher-order evals/pair, all in the probe task — guide §2.3
+    # "project before the exchange" applied to an opaque expression).
+    # |union| = |g1|+|g2|-|inter| for distinct arrays, so the verify
+    # needs ONE array_intersect per pair and no array_union.
+    g = d.select("id", word_ngrams(F.col("text"), ngram_n).alias("g"))
+    t1 = g.select(F.col("id").alias("id1"), F.col("g").alias("g1"))
+    t2 = g.select(F.col("id").alias("id2"), F.col("g").alias("g2"))
+    inter = F.size(F.array_intersect(F.col("g1"), F.col("g2")))
+    union = F.size(F.col("g1")) + F.size(F.col("g2")) - inter
     return (
         cands.join(t1, "id1")
         .join(t2, "id2")
         .withColumn(
-            "jaccard", ngram_jaccard(F.col("text1"), F.col("text2"), ngram_n)
+            "jaccard",
+            F.when(union == 0, F.lit(1.0)).otherwise(inter / union),
         )
         .where(F.col("jaccard") >= jaccard_threshold)
         .select("id1", "id2", "jaccard")
