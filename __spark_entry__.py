@@ -891,21 +891,30 @@ def _q_orders_by_priority(spark, sf_dir):
 
 
 def _q_top_order_per_customer(spark, sf_dir):
-    """Window: row_number per customer (A5 mode-per-group shape)."""
+    """Argmax per customer (A5 mode-per-group shape).
+
+    r6: the row_number window (shuffle + per-group SORT of every order
+    in one task per customer) became a max_by aggregate — partial
+    map-side aggregation, no sort, no single-task hot-customer group.
+    Identical rows: max_by on (o_totalprice, -o_orderkey) IS
+    row_number=1 over (desc price, asc orderkey) because o_orderkey is
+    unique (verified row-for-row vs the window at sf1.0 and by the
+    DuckDB oracle, which is unchanged)."""
     o = _t(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy(
-        F.desc("o_totalprice"), F.asc("o_orderkey")
+    top = o.groupBy("o_custkey").agg(
+        F.max_by(
+            F.struct("o_orderkey", "o_totalprice"),
+            F.struct(
+                F.col("o_totalprice").alias("p"),
+                (-F.col("o_orderkey")).alias("nk"),
+            ),
+        ).alias("top")
     )
-    return (
-        o.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select(
-            "o_custkey",
-            "o_orderkey",
-            F.round(F.col("o_totalprice"), 2).alias("top_price"),
-        )
-        .orderBy("o_custkey")
-    )
+    return top.select(
+        "o_custkey",
+        F.col("top.o_orderkey").alias("o_orderkey"),
+        F.round(F.col("top.o_totalprice"), 2).alias("top_price"),
+    ).orderBy("o_custkey")
 
 
 def _q_mode_event_per_user(spark, sf_dir):
@@ -1269,27 +1278,46 @@ def _q_ntriples_render(spark, sf_dir):
 
 
 def _q_embed_topk(spark, sf_dir):
-    """Brute-force cosine top-k vs vec_id=0 (ANN baseline)."""
-    from powerbi_ontology_extractor_spark.operators.dedup import (
-        cosine_similarity_col,
-    )
+    """Brute-force cosine top-k vs vec_id=0 (ANN baseline).
+
+    r6: two single-task fixes, output row-identical (verified at sf1.0
+    and by the unchanged DuckDB oracle).  (1) embeddings.parquet is one
+    file/row group, so the interpreted per-row cosine ran in ONE task —
+    floor the parallelism when the scan is below core count.  (2) the
+    query vector's norm was re-folded per ROW inside
+    cosine_similarity_col — hoist it into the broadcast side (same
+    fold, same double), leaving dot + row-norm per row."""
+
+    def _norm(col):
+        return F.sqrt(
+            F.aggregate(
+                col,
+                F.lit(0.0),
+                lambda acc, x: acc + x.cast("double") * x.cast("double"),
+            )
+        )
 
     e = _t(spark, sf_dir, "embeddings")
+    sc = spark.sparkContext
+    if e.rdd.getNumPartitions() < sc.defaultParallelism:
+        e = e.repartition(sc.defaultParallelism)
     q = e.where(F.col("vec_id") == 0).select(
-        F.col("embedding").alias("qv")
+        F.col("embedding").cast("array<double>").alias("qv")
+    )
+    q = q.select("qv", _norm(F.col("qv")).alias("qn"))
+    a = F.col("embedding").cast("array<double>")
+    dot = F.aggregate(
+        F.zip_with(a, F.col("qv"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    na = _norm(a)
+    cos = F.when((na == 0) | (F.col("qn") == 0), F.lit(0.0)).otherwise(
+        dot / (na * F.col("qn"))
     )
     return (
         e.crossJoin(F.broadcast(q))
-        .select(
-            "vec_id",
-            F.round(
-                cosine_similarity_col(
-                    F.col("embedding").cast("array<double>"),
-                    F.col("qv").cast("array<double>"),
-                ),
-                4,
-            ).alias("cos"),
-        )
+        .select("vec_id", F.round(cos, 4).alias("cos"))
         .orderBy(F.desc("cos"), F.asc("vec_id"))
         .limit(20)
     )
