@@ -26,7 +26,6 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType, LongType
-from pyspark.sql.window import Window
 
 from powerbi_ontology_extractor_spark.operators.canonicalize import (
     capped_bucket_pairs,
@@ -55,15 +54,20 @@ def exact_duplicate_groups(
 def exact_dedup(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """Keep the min-id representative per identical text.  Window
-    row_number over the hash — the canonical survivor is deterministic.
+    """Keep the min-id representative per identical text.
+
+    min_by hash AGGREGATE, not a row_number window: the window put each
+    duplicate group into one task's sort, and mega-duplicate boilerplate
+    (the #1 reason to run exact dedup on a crawl) is exactly the hot
+    key.  Partial map-side aggregation keeps at most one row per
+    (hash, map partition), so a 10^8-copy document costs each task O(1)
+    memory and the reduce side sees one row per partition, not 10^8.
+    The canonical survivor is unchanged (min id per group).
     """
-    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(id_col))
-    return (
-        docs.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .drop("_rn")
+    rep = docs.groupBy(F.md5(F.col(text_col)).alias("_h")).agg(
+        F.min_by(F.struct("*"), F.col(id_col)).alias("_r")
     )
+    return rep.select("_r.*")
 
 
 def word_ngrams(c: F.Column, n: int = 3) -> F.Column:

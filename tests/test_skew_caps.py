@@ -134,3 +134,26 @@ def test_entity_structure_conflicts_hot_name_bounded(hot_props):
     assert r["definition1"] == "2 properties"
     assert r["definition2"] == "2 properties"
     assert r["dashboard1"] < r["dashboard2"]
+
+
+def test_exact_dedup_mega_duplicate_no_window_sort(spark):
+    # N_HOT byte-identical docs (boilerplate) + two singletons: the
+    # keep-representative path must be a hash AGGREGATE (partial
+    # map-side combine bounds per-task state), not a row_number window
+    # whose per-group sort puts the whole hot group in one task.
+    rows = [(i, "boilerplate " * 20) for i in range(N_HOT)]
+    rows += [(N_HOT + 1, "unique one"), (N_HOT + 2, "unique two")]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = DD.exact_dedup(d)
+    got = sorted(r["doc_id"] for r in kept.collect())
+    assert got == [0, N_HOT + 1, N_HOT + 2]
+    plan = kept._sc._jvm.PythonSQLUtils.explainString(
+        kept._jdf.queryExecution(), "formatted"
+    )
+    assert "Window" not in plan
+    # min_by over a struct plans as SortAggregate (struct-typed buffer);
+    # what matters for skew is the PARTIAL map-side combine, present in
+    # every aggregate flavor and absent from a window
+    assert any(
+        n in plan for n in ("HashAggregate", "ObjectHashAggregate", "SortAggregate")
+    )
