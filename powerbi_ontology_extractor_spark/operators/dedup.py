@@ -94,6 +94,22 @@ def ngram_jaccard(
     return F.when(union == 0, F.lit(1.0)).otherwise(inter / union)
 
 
+def _parallelism_floor(df: DataFrame) -> DataFrame:
+    """Repartition to core count ONLY when the plan has fewer
+    partitions (guide §2/§6): a one-file/one-row-group input otherwise
+    caps every narrow stage (signature UDFs, band explodes, partial
+    collects, per-pair verifies) at the scan's 1-2 partitions —
+    measured 17 s of the 20 s sf1.0 minhash wall serialized on ≤2
+    cores.  At real scale inputs have thousands of splits, so the
+    condition is false and nothing is re-shuffled or collapsed.
+    Deterministic-safe here: every downstream cap slices by sorted id,
+    so results do not depend on the physical partitioning."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        return df.repartition(sc.defaultParallelism)
+    return df
+
+
 def minhash_near_duplicates(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -108,15 +124,7 @@ def minhash_near_duplicates(
     d = docs.select(
         F.col(id_col).cast("string").alias("id"), F.col(text_col).alias("text")
     )
-    # parallelism floor (guide §2/§6): a one-file input caps every
-    # narrow stage (signature UDF, band explode, partial collects,
-    # per-pair verify) at the scan's 1-2 partitions — measured 17 s of
-    # the 20 s sf1.0 wall serialized on ≤2 cores.  Only repartition when
-    # the scan is BELOW core count: at real scale the input has
-    # thousands of splits and must not be collapsed or re-shuffled.
-    sc = docs.sparkSession.sparkContext
-    if d.rdd.getNumPartitions() < sc.defaultParallelism:
-        d = d.repartition(sc.defaultParallelism)
+    d = _parallelism_floor(d)
     # word shingles: char shingles over a shared vocabulary collapse the
     # whole corpus into a handful of LSH buckets (quadratic pair blowup)
     cands = lsh_candidate_pairs(
@@ -203,10 +211,9 @@ def simhash_near_duplicates(
     """Pairs within Hamming distance ≤ k of the 64-bit crc32 SimHash.
     Signature computation here; the pigeonhole pair search is
     hamming_pairs.  Output: (id1, id2, hamming) with string ids."""
-    sigs = docs.select(
-        F.col(id_col).cast("string").alias("id"),
-        simhash64(F.col(text_col)).alias("sig"),
-    )
+    sigs = _parallelism_floor(
+        docs.select(F.col(id_col).cast("string").alias("id"), F.col(text_col).alias("text"))
+    ).select("id", simhash64(F.col("text")).alias("sig"))
     return hamming_pairs(
         sigs, max_hamming=max_hamming, max_bucket=max_bucket, bits=64
     )
@@ -336,8 +343,10 @@ def embedding_near_duplicates(
         hyperplane_bucket_udf,
     )
 
-    e = embeddings.select(
-        F.col(id_col).cast("string").alias("id"), F.col(vec_col).alias("vec")
+    e = _parallelism_floor(
+        embeddings.select(
+            F.col(id_col).cast("string").alias("id"), F.col(vec_col).alias("vec")
+        )
     )
     # one bucket column per band (independent plane matrices via seed
     # offsets); explode into (band, bucket) rows → one shuffle
