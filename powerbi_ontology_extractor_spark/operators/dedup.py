@@ -127,9 +127,12 @@ def minhash_near_duplicates(
     d = _parallelism_floor(d)
     # word shingles: char shingles over a shared vocabulary collapse the
     # whole corpus into a handful of LSH buckets (quadratic pair blowup)
+    # dedup=False: a pair colliding in k bands is verified k times (the
+    # verify is one array_intersect now) and deduplicated AFTER the
+    # filter — one fewer mid-path exchange, identical final pair set
     cands = lsh_candidate_pairs(
         d, "id", "text", num_hashes=num_hashes, bands=bands,
-        unit="word", shingle_k=ngram_n,
+        unit="word", shingle_k=ngram_n, dedup=False,
     )
     # grams once per DOCUMENT (parallel, ~1 eval/doc), not once per
     # CANDIDATE SIDE inside the join condition (~4 interpreted
@@ -151,6 +154,7 @@ def minhash_near_duplicates(
         )
         .where(F.col("jaccard") >= jaccard_threshold)
         .select("id1", "id2", "jaccard")
+        .dropDuplicates(["id1", "id2"])
     )
 
 
