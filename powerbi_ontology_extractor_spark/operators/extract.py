@@ -479,6 +479,25 @@ def extract_all(
     return out
 
 
+def ckpt_coalesce_target(df: DataFrame) -> int:
+    """Partition target for stage-boundary checkpoints: ~core count,
+    PBI_KG_CKPT_PARTS overrides (A/B'd at 8/16/32 — no reliable win,
+    host noise dominates; keep the formula)."""
+    import os
+
+    cores = df.sparkSession.sparkContext.defaultParallelism
+    return int(os.environ.get("PBI_KG_CKPT_PARTS", str(max(min(cores, 64), 4))))
+
+
+def checkpoint_one(d: DataFrame, target: int) -> DataFrame:
+    """coalesce + eager localCheckpoint of one frame.  coalesce never
+    RAISES a partition count, so the cap needs no getNumPartitions
+    probe — that call forced a physical-planning pass per frame BEFORE
+    the concurrent round (measured ~3 s of serial driver wedge at 400
+    repos in the round-5 job timeline)."""
+    return d.coalesce(target).localCheckpoint(eager=True)
+
+
 def checkpoint_parallel(dfs: list[DataFrame]) -> list[DataFrame]:
     """Eager-localCheckpoint several DataFrames concurrently — Spark
     accepts concurrent job submission, so the stage-boundary barrier
@@ -488,22 +507,11 @@ def checkpoint_parallel(dfs: list[DataFrame]) -> list[DataFrame]:
     boundary tables are orders of magnitude smaller than the corpus,
     and the ~40 downstream emission stages each pay per-task scheduling
     overhead per partition."""
-    import os
     from concurrent.futures import ThreadPoolExecutor
 
     if not dfs:
         return []
-    cores = dfs[0].sparkSession.sparkContext.defaultParallelism
-    target = int(
-        os.environ.get("PBI_KG_CKPT_PARTS", str(max(min(cores, 64), 4)))
-    )
-
-    def ckpt(d: DataFrame) -> DataFrame:
-        # coalesce never RAISES a partition count, so the cap needs no
-        # getNumPartitions probe — that call forced a physical-planning
-        # pass per frame BEFORE the concurrent round (measured ~3 s of
-        # serial driver wedge at 400 repos in the round-5 job timeline)
-        return d.coalesce(target).localCheckpoint(eager=True)
+    target = ckpt_coalesce_target(dfs[0])
 
     with ThreadPoolExecutor(max_workers=len(dfs)) as ex:
-        return list(ex.map(ckpt, dfs))
+        return list(ex.map(lambda d: checkpoint_one(d, target), dfs))

@@ -49,18 +49,32 @@ from powerbi_ontology_extractor_spark.operators.triples import (
 )
 
 
-def _constraint_triples(corpus: DataFrame, onto_dfs: dict) -> DataFrame:
+def _constraint_triples(
+    corpus: DataFrame, onto_dfs: dict, prebuilt: dict | None = None
+) -> DataFrame:
     """T7/T8 constraint families (owl.py:264-309): suggested validation
     constraints (ontology_generator.py:314-366 heuristics, applied as
     the reference's include_constraints=True export does) plus
     ontology-JSON sidecar constraints (the mcp_server.py:268-296 load
-    path) including entity-level EntityConstraint bnodes."""
+    path) including entity-level EntityConstraint bnodes.
+
+    ``prebuilt`` may carry the corpus-only sidecar frames constructed
+    during the barrier overlap (same builders, same args — identical
+    DAGs, just built earlier)."""
+    pre = prebuilt or {}
     pcs = enhancement_property_constraints(
         onto_dfs["enhancements"]
-    ).unionByName(sidecar_property_constraints(corpus))
-    return property_constraint_triples(pcs).unionByName(
-        entity_constraint_triples(sidecar_entity_constraints(corpus))
+    ).unionByName(
+        pre.get("sidecar_pcs")
+        if pre.get("sidecar_pcs") is not None
+        else sidecar_property_constraints(corpus)
     )
+    ect = (
+        pre.get("sidecar_ect")
+        if pre.get("sidecar_ect") is not None
+        else entity_constraint_triples(sidecar_entity_constraints(corpus))
+    )
+    return property_constraint_triples(pcs).unionByName(ect)
 
 
 # barrier="auto" probes corpus size (one count job on the
@@ -85,7 +99,10 @@ def _full_barriers(corpus: DataFrame, barrier: str | bool) -> bool:
 
 def _extract_generate_single_barrier(
     corpus: DataFrame,
-) -> tuple[dict[str, DataFrame], dict[str, DataFrame]]:
+    roles: list[str] = DEFAULT_ROLES,
+    generated_at: str = DEFAULT_GENERATED_AT,
+    prebuild_latent: bool = False,
+) -> tuple[dict[str, DataFrame], dict[str, DataFrame], dict[str, DataFrame]]:
     """models checkpoint → ONE concurrent barrier round for every frame
     the emission fan-out consumes (flat families + Arrow-parsed
     measures + typed entities).
@@ -96,8 +113,28 @@ def _extract_generate_single_barrier(
     checkpoint, so one round suffices — each round costs max(job
     latency), and round latency is pure serial time that lands on the
     multi-executor level's denominator (measured ~6-10 s at 36k repos).
+
+    r6: the round is submitted as FUTURES and the driver builds every
+    family whose inputs are only (corpus, datasets) — sidecar
+    constraints, metadata, base classes, and (``prebuild_latent``) the
+    M-datasource/report families — WHILE the remaining five checkpoints
+    execute.  py4j expression construction is driver-only, the
+    checkpoint threads just block on the JVM, so the ~0.7 s of build
+    fully hides the family-round latency (measured rest_wait=0.00 at
+    400 repos).  Returned ``prebuilt`` frames are the SAME builders
+    with the SAME args — identical DAGs, just constructed earlier.
     """
+    from concurrent.futures import ThreadPoolExecutor
+
     from powerbi_ontology_extractor_spark.functions.dax import parse_measures
+    from powerbi_ontology_extractor_spark.operators.extract import (
+        checkpoint_one,
+        ckpt_coalesce_target,
+    )
+    from powerbi_ontology_extractor_spark.operators.triples import (
+        base_class_triples,
+        ontology_metadata_triples,
+    )
 
     # models MUST be eager-checkpointed BEFORE the concurrent round:
     # concurrent jobs over an unmaterialized cache stampede it and
@@ -118,8 +155,25 @@ def _extract_generate_single_barrier(
         "parsed_measures": parse_measures(measures),
         "ontology_entities": ontology_entities_from_models(models),
     }
-    keys = list(frames)
-    ckpt = dict(zip(keys, checkpoint_parallel([frames[k] for k in keys])))
+    target = ckpt_coalesce_target(corpus)
+    prebuilt: dict[str, DataFrame] = {}
+    with ThreadPoolExecutor(max_workers=len(frames)) as ex:
+        futs = {
+            k: ex.submit(checkpoint_one, v, target) for k, v in frames.items()
+        }
+        # corpus-only families: buildable before ANY checkpoint lands
+        prebuilt["sidecar_pcs"] = sidecar_property_constraints(corpus)
+        prebuilt["sidecar_ect"] = entity_constraint_triples(
+            sidecar_entity_constraints(corpus)
+        )
+        datasets = futs["datasets"].result()
+        prebuilt["metadata"] = ontology_metadata_triples(datasets, generated_at)
+        prebuilt["base_class"] = base_class_triples(datasets, roles)
+        if prebuild_latent:
+            prebuilt["m_datasource"] = m_datasource_triples(corpus, datasets)
+            prebuilt["report"] = report_triples(corpus, datasets)
+        ckpt = {k: futs[k].result() for k in frames}
+    ckpt["datasets"] = datasets
     model_dfs = {
         "models": models,
         "entities": entities_df(models),
@@ -139,7 +193,7 @@ def _extract_generate_single_barrier(
         "business_rules": business_rules_df(ckpt["parsed_measures"]),
         "enhancements": suggest_enhancements(ckpt["properties"]),
     }
-    return model_dfs, onto_dfs
+    return model_dfs, onto_dfs, prebuilt
 
 
 def build_triples(
@@ -161,17 +215,30 @@ def build_triples(
     default stays True).
     """
     full = _full_barriers(corpus, barrier)
+    prebuilt: dict = {}
     if full:
-        model_dfs, onto_dfs = _extract_generate_single_barrier(corpus)
+        model_dfs, onto_dfs, prebuilt = _extract_generate_single_barrier(
+            corpus, roles, generated_at,
+            prebuild_latent=include_latent_surfaces,
+        )
     else:
         model_dfs = extract_all(corpus, materialize=True, family_barrier=False)
         onto_dfs = generate_ontology(model_dfs, materialize=False)
-    triples = export_triples(onto_dfs, model_dfs, roles, generated_at, dedup=False)
-    triples = triples.unionByName(_constraint_triples(corpus, onto_dfs))
+    triples = export_triples(
+        onto_dfs, model_dfs, roles, generated_at, dedup=False,
+        prebuilt=prebuilt,
+    )
+    triples = triples.unionByName(
+        _constraint_triples(corpus, onto_dfs, prebuilt)
+    )
     if include_latent_surfaces:
-        triples = triples.unionByName(
-            m_datasource_triples(corpus, model_dfs["datasets"])
-        ).unionByName(report_triples(corpus, model_dfs["datasets"]))
+        m_ds = prebuilt.get("m_datasource")
+        if m_ds is None:
+            m_ds = m_datasource_triples(corpus, model_dfs["datasets"])
+        rpt = prebuilt.get("report")
+        if rpt is None:
+            rpt = report_triples(corpus, model_dfs["datasets"])
+        triples = triples.unionByName(m_ds).unionByName(rpt)
     return triples.dropDuplicates(TRIPLE_COLS)
 
 
@@ -195,16 +262,28 @@ def build_triples_canonicalized(
     )
 
     full = _full_barriers(corpus, barrier)
+    prebuilt: dict = {}
     if full:
-        model_dfs, onto_dfs = _extract_generate_single_barrier(corpus)
+        model_dfs, onto_dfs, prebuilt = _extract_generate_single_barrier(
+            corpus, roles, generated_at, prebuild_latent=True
+        )
     else:
         model_dfs = extract_all(corpus, materialize=True, family_barrier=False)
         onto_dfs = generate_ontology(model_dfs, materialize=False)
-    triples = export_triples(onto_dfs, model_dfs, roles, generated_at, dedup=False)
+    triples = export_triples(
+        onto_dfs, model_dfs, roles, generated_at, dedup=False,
+        prebuilt=prebuilt,
+    )
+    m_ds = prebuilt.get("m_datasource")
+    if m_ds is None:
+        m_ds = m_datasource_triples(corpus, model_dfs["datasets"])
+    rpt = prebuilt.get("report")
+    if rpt is None:
+        rpt = report_triples(corpus, model_dfs["datasets"])
     triples = (
-        triples.unionByName(_constraint_triples(corpus, onto_dfs))
-        .unionByName(m_datasource_triples(corpus, model_dfs["datasets"]))
-        .unionByName(report_triples(corpus, model_dfs["datasets"]))
+        triples.unionByName(_constraint_triples(corpus, onto_dfs, prebuilt))
+        .unionByName(m_ds)
+        .unionByName(rpt)
     )
     triples = triples.dropDuplicates(TRIPLE_COLS)
     mapping = entity_canonical_mapping(
